@@ -1,0 +1,91 @@
+"""Fixed-shape batched NMS vs a sequential greedy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_infer_tpu.ops.nms import batched_nms, nms_numpy_reference
+
+
+def _random_boxes(rng, n, span=640):
+    cxy = rng.uniform(50, span - 50, (n, 2))
+    wh = rng.uniform(10, 120, (n, 2))
+    return np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_greedy_oracle_single_class(seed):
+    rng = np.random.default_rng(seed)
+    n = 150
+    boxes = _random_boxes(rng, n)
+    scores = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+    out = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.1, 0.5, pre_topk=256, max_det=100)
+    num = int(out["num"][0])
+    got = {round(float(s), 5) for s in np.asarray(out["scores"][0, :num])}
+    keep = [i for i in nms_numpy_reference(boxes, scores[:, 0], 0.5) if scores[i, 0] > 0.1][:100]
+    want = {round(float(scores[i, 0]), 5) for i in keep}
+    assert got == want
+
+
+def test_class_aware_keeps_overlapping_different_classes():
+    boxes = np.array([[0, 0, 100, 100], [1, 1, 101, 101]], np.float32)
+    scores = np.zeros((2, 3), np.float32)
+    scores[0, 0] = 0.9  # class 0
+    scores[1, 2] = 0.8  # class 2, same location
+    out = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.25, 0.45, pre_topk=8, max_det=10)
+    assert int(out["num"][0]) == 2  # class-aware: both survive
+    out2 = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.25, 0.45, pre_topk=8, max_det=10, class_aware=False)
+    assert int(out2["num"][0]) == 1  # class-agnostic: one suppressed
+
+
+def test_conf_threshold_and_padding():
+    boxes = np.array([[0, 0, 10, 10], [500, 500, 600, 600]], np.float32)
+    scores = np.array([[0.9], [0.05]], np.float32)
+    out = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.25, 0.45, pre_topk=8, max_det=5)
+    assert int(out["num"][0]) == 1
+    assert not bool(out["valid"][0, 1])
+    np.testing.assert_array_equal(np.asarray(out["boxes"][0, 1]), 0)  # padded slots zeroed
+    assert float(out["classes"][0, 1]) == -1.0
+
+
+def test_multi_label_emits_multiple_classes_per_anchor():
+    boxes = np.array([[0, 0, 100, 100]], np.float32)
+    scores = np.array([[0.9, 0.8, 0.01]], np.float32)
+    out = batched_nms(
+        jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.25, 0.45,
+        pre_topk=8, max_det=5, multi_label=True,
+    )
+    assert int(out["num"][0]) == 2
+    cls = sorted(np.asarray(out["classes"][0, :2]).tolist())
+    assert cls == [0.0, 1.0]
+
+
+def test_suppression_chain():
+    # A suppresses B; B would have suppressed C; C must survive (fixpoint exactness)
+    # IoU(A,B)=IoU(B,C)=0.43 > 0.3; IoU(A,C)=0.11 < 0.3
+    boxes = np.array(
+        [[0, 0, 100, 100], [40, 0, 140, 100], [80, 0, 180, 100]], np.float32
+    )
+    scores = np.array([[0.9], [0.8], [0.7]], np.float32)
+    out = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.1, 0.3, pre_topk=8, max_det=5)
+    num = int(out["num"][0])
+    kept_scores = sorted(np.asarray(out["scores"][0, :num]).astype(np.float64).round(4).tolist(), reverse=True)
+    assert kept_scores == [0.9, 0.7]
+
+
+def test_batched_independence():
+    rng = np.random.default_rng(3)
+    boxes = np.stack([_random_boxes(rng, 50), _random_boxes(rng, 50)])
+    scores = rng.uniform(0, 1, (2, 50, 4)).astype(np.float32)
+    both = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.2, 0.5, pre_topk=64, max_det=20)
+    solo0 = batched_nms(jnp.asarray(boxes[:1]), jnp.asarray(scores[:1]), 0.2, 0.5, pre_topk=64, max_det=20)
+    np.testing.assert_allclose(np.asarray(both["scores"][0]), np.asarray(solo0["scores"][0]))
+    np.testing.assert_allclose(np.asarray(both["boxes"][0]), np.asarray(solo0["boxes"][0]))
+
+
+def test_anchor_idx_tracks_source():
+    boxes = np.array([[0, 0, 10, 10], [100, 100, 200, 200]], np.float32)
+    scores = np.array([[0.5], [0.9]], np.float32)
+    out = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.1, 0.5, pre_topk=4, max_det=4)
+    # highest score first: anchor 1 then anchor 0
+    assert np.asarray(out["anchor_idx"][0, :2]).tolist() == [1, 0]

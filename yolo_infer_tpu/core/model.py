@@ -1,0 +1,314 @@
+"""YOLO11Model — the user-facing model wrapper (API parity with the reference).
+
+Mirrors the reference's `YOLO11Model` surface (reference core/model.py:29-291:
+SUPPORTED_TASKS/MODEL_SIZES tables :37-45, predict :118, train :135, val :180,
+export :197, save/load :214-224, get_model_info :226-251, benchmark :253-291)
+and `YOLO11Factory` (:298-324), reimplemented over the TPU-native stack: the
+network is built/loaded as a JAX pytree, prediction runs through the jitted
+end-to-end `Predictor`, and benchmarking synchronizes with
+`jax.block_until_ready` (the reference's CUDA timers never synced —
+SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from yolo_infer_tpu.core.predictor import Predictor, Results
+from yolo_infer_tpu.data.loader import IMAGE_EXTS, list_image_files, load_image
+from yolo_infer_tpu.models.spec import SIZES, TASKS, build_spec
+from yolo_infer_tpu.models.yolo11 import build_model, cast_params, fold_model, forward, param_count
+from yolo_infer_tpu.utils.coco_names import COCO_NAMES
+from yolo_infer_tpu.utils.helpers import calculate_model_size, get_device_info
+
+logger = logging.getLogger(__name__)
+
+# task -> model-name suffix (reference core/model.py:37-43)
+SUPPORTED_TASKS: Dict[str, str] = {
+    "detect": "",
+    "segment": "-seg",
+    "classify": "-cls",
+    "pose": "-pose",
+    "obb": "-obb",
+}
+MODEL_SIZES = list(SIZES)
+
+_NAME_RE = re.compile(r"yolo11([nsmlx])(?:-(seg|cls|pose|obb))?")
+_SUFFIX_TASK = {"seg": "segment", "cls": "classify", "pose": "pose", "obb": "obb", None: "detect"}
+
+
+def parse_model_name(name: str):
+    """'yolo11n', 'yolo11s-seg', 'yolo11m.pt' -> (size, task) or None."""
+    m = _NAME_RE.search(Path(name).stem.lower())
+    if not m:
+        return None
+    return m.group(1), _SUFFIX_TASK[m.group(2)]
+
+
+class YOLO11Model:
+    """YOLO11 model wrapper: build/load, predict, benchmark, save, export."""
+
+    def __init__(
+        self,
+        model_path: Union[str, Path] = "yolo11n",
+        task: Optional[str] = None,
+        device: Optional[str] = None,
+        nc: int = 80,
+        names: Optional[Dict[int, str]] = None,
+        seed: int = 0,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.model_path = str(model_path)
+        self.device = device or self._get_default_device()
+        self.compute_dtype = compute_dtype
+        self._predictor: Optional[Predictor] = None
+
+        path = Path(model_path)
+        if path.exists() and path.suffix in (".msgpack", ".ckpt"):
+            self._load_native(path, task_override=task)
+        elif path.exists() and path.suffix == ".pt":
+            from yolo_infer_tpu.models.convert import convert_pt_checkpoint
+
+            params, meta = convert_pt_checkpoint(path)
+            self._init_from_params(params, meta, fused=True)
+        else:
+            parsed = parse_model_name(self.model_path)
+            if parsed is None:
+                raise ValueError(
+                    f"cannot resolve model {model_path!r}: not a file and not a "
+                    f"yolo11[nsmlx](-seg|-cls|-pose|-obb) name"
+                )
+            size, parsed_task = parsed
+            self.task = task or parsed_task
+            self.size = size
+            self.nc = nc
+            self.names = names or (dict(COCO_NAMES) if nc == 80 else {i: str(i) for i in range(nc)})
+            params, state, spec = build_model(jax.random.PRNGKey(seed), self.task, size, nc)
+            self.spec = spec
+            self.params = params  # training-form (unfused) params
+            self.state = state
+            self._deploy_params = None
+            logger.info("initialized %s (%s/%s): %s params", self.model_path, self.task, size, f"{param_count(params):,}")
+
+    # ------------------------------------------------------------------ setup
+
+    @staticmethod
+    def _get_default_device() -> str:
+        """tpu > gpu > cpu (the reference picks cuda > mps > cpu, model.py:83)."""
+        backend = jax.default_backend()
+        return backend
+
+    def _init_from_params(self, params, meta: Dict[str, Any], fused: bool):
+        self.task = meta.get("task", "detect")
+        self.size = meta.get("size", "n")
+        self.nc = int(meta.get("nc", 80))
+        names = meta.get("names") or COCO_NAMES
+        self.names = {int(k): v for k, v in names.items()} if isinstance(names, dict) else dict(enumerate(names))
+        self.spec = build_spec(self.task, self.size, self.nc)
+        if fused:
+            self._deploy_params = params
+            self.params = params
+            self.state = None
+        else:
+            self.params = params
+            self.state = meta.get("state")
+            self._deploy_params = None
+
+    def _load_native(self, path: Path, task_override: Optional[str] = None):
+        raw = serialization.msgpack_restore(path.read_bytes())
+        meta = raw.get("meta", {})
+        if task_override:
+            meta["task"] = task_override
+        if "state" in raw:
+            meta["state"] = raw["state"]
+        self._init_from_params(raw["params"], meta, fused=bool(meta.get("fused", "state" not in raw)))
+        logger.info("loaded %s (%s/%s, fused=%s)", path, self.task, self.size, self.state is None)
+
+    # ------------------------------------------------------------------ infer
+
+    @property
+    def deploy_params(self):
+        """BN-folded bf16 inference params (computed once, cached)."""
+        if self._deploy_params is None:
+            folded = fold_model(self.params, self.state) if self.state is not None else self.params
+            self._deploy_params = cast_params(folded, self.compute_dtype)
+        return self._deploy_params
+
+    @property
+    def predictor(self) -> Predictor:
+        if self._predictor is None:
+            self._predictor = Predictor(
+                self.deploy_params, self.spec, compute_dtype=self.compute_dtype, names=self.names
+            )
+        return self._predictor
+
+    def invalidate(self):
+        """Drop cached deploy params/predictor after a params update."""
+        self._deploy_params = None
+        self._predictor = None
+
+    def predict(
+        self,
+        source: Union[str, Path, np.ndarray, Sequence[np.ndarray]],
+        conf: float = 0.25,
+        iou: float = 0.45,
+        imgsz: int = 640,
+        max_det: int = 300,
+        **kw,
+    ) -> List[Results]:
+        """Run inference on an image path / dir / array / list of arrays."""
+        if isinstance(source, (str, Path)):
+            p = Path(source)
+            if p.is_dir():
+                images = [load_image(f) for f in list_image_files(p)]
+            else:
+                images = load_image(p)
+        else:
+            images = source
+        return self.predictor.predict(images, conf=conf, iou=iou, imgsz=imgsz, max_det=max_det, **kw)
+
+    # ------------------------------------------------------------- train / val
+
+    def train(self, data: str, epochs: int = 100, **kwargs) -> Dict[str, Any]:
+        from yolo_infer_tpu.core.trainer import YOLO11Trainer, TrainingConfig
+
+        cfg = TrainingConfig(data=data, epochs=epochs, **kwargs)
+        trainer = YOLO11Trainer(model=self, config=cfg)
+        return trainer.train()
+
+    def val(self, data: str, **kwargs) -> Dict[str, Any]:
+        from yolo_infer_tpu.core.validator import YOLO11Validator
+
+        return YOLO11Validator(model=self).validate(data=data, **kwargs)
+
+    # ------------------------------------------------------------------ export
+
+    def save(self, path: Union[str, Path], fused: bool = False) -> Path:
+        """Save a native checkpoint (msgpack pytree + metadata)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        # msgpack map keys must be strings; names keys are re-int'ed on load
+        meta = {"task": self.task, "size": self.size, "nc": self.nc, "names": {str(k): v for k, v in self.names.items()}, "fused": fused or self.state is None}
+        payload: Dict[str, Any] = {"meta": meta}
+        if fused or self.state is None:
+            payload["params"] = jax.tree_util.tree_map(np.asarray, self.deploy_params)
+        else:
+            payload["params"] = jax.tree_util.tree_map(np.asarray, self.params)
+            payload["state"] = jax.tree_util.tree_map(np.asarray, self.state)
+        path.write_bytes(serialization.msgpack_serialize(payload))
+        logger.info("saved model to %s", path)
+        return path
+
+    def load(self, path: Union[str, Path]) -> "YOLO11Model":
+        self._load_native(Path(path))
+        self.invalidate()
+        return self
+
+    def export(self, path: Optional[Union[str, Path]] = None, format: str = "msgpack") -> Path:
+        """Export the fused deploy model (msgpack or safetensors flat tree)."""
+        path = Path(path or f"{Path(self.model_path).stem}_deploy.{format}")
+        if format == "msgpack":
+            return self.save(path, fused=True)
+        if format == "safetensors":
+            from safetensors.numpy import save_file
+
+            flat = {}
+
+            def _walk(tree, prefix):
+                if isinstance(tree, dict):
+                    for k, v in tree.items():
+                        _walk(v, f"{prefix}.{k}" if prefix else k)
+                elif isinstance(tree, list):
+                    for i, v in enumerate(tree):
+                        _walk(v, f"{prefix}.{i}")
+                else:
+                    flat[prefix] = np.asarray(tree).astype(np.float32)
+
+            _walk(self.deploy_params, "")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            save_file(flat, str(path), metadata={"task": self.task, "size": self.size, "nc": str(self.nc)})
+            return path
+        raise ValueError(f"unsupported export format {format!r}")
+
+    # ------------------------------------------------------------------- info
+
+    def get_model_info(self) -> Dict[str, Any]:
+        size_info = calculate_model_size(self.params)
+        return {
+            "model_path": self.model_path,
+            "task": self.task,
+            "model_size": self.size,
+            "num_classes": self.nc,
+            "device": self.device,
+            "parameters": size_info["parameters"],
+            "size_mb": size_info["size_mb"],
+            "compute_dtype": str(jnp.dtype(self.compute_dtype)),
+            "backend": jax.default_backend(),
+        }
+
+    def benchmark(self, imgsz: int = 640, batch: int = 1, runs: int = 100, warmup: int = 10, conf: float = 0.25, iou: float = 0.45) -> Dict[str, Any]:
+        """Timed end-to-end inference loop with device synchronization."""
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8)
+        dev_images = jnp.asarray(images)
+
+        t_compile = time.perf_counter()
+        out = self.predictor.predict_raw(dev_images, conf, iou, imgsz)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t_compile
+
+        for _ in range(warmup):
+            jax.block_until_ready(self.predictor.predict_raw(dev_images, conf, iou, imgsz))
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            jax.block_until_ready(self.predictor.predict_raw(dev_images, conf, iou, imgsz))
+            times.append(time.perf_counter() - t0)
+        times_np = np.array(times)
+        avg = float(times_np.mean())
+        return {
+            "imgsz": imgsz,
+            "batch": batch,
+            "runs": runs,
+            "avg_time_s": avg,
+            "min_time_s": float(times_np.min()),
+            "max_time_s": float(times_np.max()),
+            "std_time_s": float(times_np.std()),
+            "fps": batch / avg,
+            "throughput_imgs_per_s": batch / avg,
+            "compile_time_s": compile_s,
+        }
+
+
+class YOLO11Factory:
+    """One creator per task (reference core/model.py:298-324)."""
+
+    @staticmethod
+    def create_detector(size: str = "n", **kw) -> YOLO11Model:
+        return YOLO11Model(f"yolo11{size}", task="detect", **kw)
+
+    @staticmethod
+    def create_segmenter(size: str = "n", **kw) -> YOLO11Model:
+        return YOLO11Model(f"yolo11{size}-seg", task="segment", **kw)
+
+    @staticmethod
+    def create_classifier(size: str = "n", **kw) -> YOLO11Model:
+        return YOLO11Model(f"yolo11{size}-cls", task="classify", **kw)
+
+    @staticmethod
+    def create_pose_estimator(size: str = "n", **kw) -> YOLO11Model:
+        return YOLO11Model(f"yolo11{size}-pose", task="pose", **kw)
+
+    @staticmethod
+    def create_obb_detector(size: str = "n", **kw) -> YOLO11Model:
+        return YOLO11Model(f"yolo11{size}-obb", task="obb", **kw)

@@ -1,0 +1,227 @@
+"""Jitted end-to-end prediction pipeline.
+
+One compiled XLA program does: uint8 frames -> device letterbox/normalize ->
+backbone/neck/head forward (bf16, MXU) -> DFL decode -> fixed-shape batched
+NMS. The host only un-letterboxes the (max_det,) results — a few hundred
+floats per image. This replaces the reference's predict path
+(reference core/model.py:118-133 + ultralytics predictor) where letterbox
+ran on host and NMS on torchvision.
+
+Compilation is cached per (batch, source_hw, imgsz) signature; thresholds
+conf/iou are traced scalars and never trigger recompiles.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_infer_tpu.models.spec import ModelSpec
+from yolo_infer_tpu.models.yolo11 import forward
+from yolo_infer_tpu.ops.decode import decode_detections, decode_keypoints, make_anchors
+from yolo_infer_tpu.ops.letterbox import letterbox_params, scale_boxes
+from yolo_infer_tpu.ops.nms import batched_nms
+from yolo_infer_tpu.ops.preprocess import preprocess_batch
+from yolo_infer_tpu.utils.coco_names import COCO_NAMES
+
+
+@dataclass
+class Results:
+    """Per-image detection results in original-image pixel coordinates."""
+
+    boxes: np.ndarray  # (n, 4) xyxy
+    scores: np.ndarray  # (n,)
+    classes: np.ndarray  # (n,) int32
+    orig_shape: Tuple[int, int]  # (h, w)
+    names: Dict[int, str] = field(default_factory=lambda: dict(COCO_NAMES))
+    speed: Dict[str, float] = field(default_factory=dict)
+    keypoints: Optional[np.ndarray] = None  # (n, K, 3) pose
+    masks: Optional[np.ndarray] = None  # (n, H, W) segment
+    probs: Optional[np.ndarray] = None  # (nc,) classify
+
+    def __len__(self) -> int:
+        return int(self.boxes.shape[0])
+
+
+class Predictor:
+    """Caches jitted end-to-end programs keyed by input signature."""
+
+    def __init__(
+        self,
+        params: Any,
+        spec: ModelSpec,
+        *,
+        compute_dtype=jnp.bfloat16,
+        pre_topk: int = 1024,
+        max_det: int = 300,
+        names: Optional[Dict[int, str]] = None,
+    ):
+        self.params = params
+        self.spec = spec
+        self.compute_dtype = compute_dtype
+        self.pre_topk = pre_topk
+        self.max_det = max_det
+        self.names = names or dict(COCO_NAMES)
+        self._cache: Dict[Tuple, Any] = {}
+
+    # -- compiled program ---------------------------------------------------
+
+    def _build(self, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int):
+        spec = self.spec
+        pre_topk = self.pre_topk
+        compute_dtype = self.compute_dtype
+
+        @jax.jit
+        def run(params, images_u8, conf, iou):
+            x = preprocess_batch(images_u8, out_hw=(imgsz, imgsz), dtype=compute_dtype)
+            out, _ = forward(params, None, spec, x, compute_dtype=compute_dtype)
+            extras: Dict[str, jnp.ndarray] = {}
+            if spec.task == "classify":
+                return {"probs": jax.nn.softmax(out["logits"], axis=-1)}
+            boxes, scores = decode_detections(out["feats"], spec.nc, spec.reg_max, spec.strides)
+            dets = batched_nms(
+                boxes,
+                scores,
+                conf,
+                iou,
+                pre_topk=pre_topk,
+                max_det=max_det,
+                multi_label=multi_label,
+            )
+            if spec.task == "pose":
+                b = out["kpts"][0].shape[0]
+                kflat = jnp.concatenate([k.reshape(b, -1, k.shape[-1]) for k in out["kpts"]], axis=1)
+                feat_shapes = [(f.shape[1], f.shape[2]) for f in out["feats"]]
+                ap, st = make_anchors(feat_shapes, spec.strides)
+                kdec = decode_keypoints(kflat, ap, st, spec.kpt_shape)  # (B, A, K, 3)
+                dets["kpts"] = jnp.take_along_axis(
+                    kdec, dets["anchor_idx"][..., None, None], axis=1
+                )  # (B, max_det, K, 3)
+            elif spec.task == "segment":
+                b = out["mc"][0].shape[0]
+                mc = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in out["mc"]], axis=1)
+                dets["mask_coefs"] = jnp.take_along_axis(
+                    mc, dets["anchor_idx"][..., None], axis=1
+                )  # (B, max_det, nm)
+                dets["proto"] = out["proto"]
+            elif spec.task == "obb":
+                b = out["angle"][0].shape[0]
+                ang = jnp.concatenate([a.reshape(b, -1, a.shape[-1]) for a in out["angle"]], axis=1)
+                # angle in [-pi/4, 3pi/4): (sigmoid - 0.25) * pi
+                ang = (jax.nn.sigmoid(ang.astype(jnp.float32)) - 0.25) * jnp.pi
+                dets["angle"] = jnp.take_along_axis(ang, dets["anchor_idx"][..., None], axis=1)[..., 0]
+            return dets
+
+        return run
+
+    def _get(self, batch: int, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int):
+        key = (batch, src_hw, imgsz, multi_label, max_det)
+        if key not in self._cache:
+            self._cache[key] = self._build(src_hw, imgsz, multi_label, max_det)
+        return self._cache[key]
+
+    # -- public API ----------------------------------------------------------
+
+    def predict(
+        self,
+        images: Union[np.ndarray, Sequence[np.ndarray]],
+        conf: float = 0.25,
+        iou: float = 0.45,
+        imgsz: int = 640,
+        multi_label: bool = False,
+        max_det: Optional[int] = None,
+    ) -> List[Results]:
+        """images: uint8 RGB HWC array(s). Returns one Results per image."""
+        single = isinstance(images, np.ndarray) and images.ndim == 3
+        if single:
+            images = [images]
+        if isinstance(images, np.ndarray):
+            batch_np = images
+            shapes = [tuple(images.shape[1:3])] * images.shape[0]
+        else:
+            shapes = [tuple(im.shape[:2]) for im in images]
+            if len(set(shapes)) != 1:
+                # heterogeneous sizes: run per-image (each shape compiles once)
+                return [self.predict(im, conf, iou, imgsz, multi_label, max_det)[0] for im in images]
+            batch_np = np.stack(images, axis=0)
+
+        md = max_det or self.max_det
+        t0 = time.perf_counter()
+        run = self._get(batch_np.shape[0], shapes[0], imgsz, multi_label, md)
+        dets = run(self.params, jnp.asarray(batch_np), jnp.float32(conf), jnp.float32(iou))
+        dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)
+        dt = (time.perf_counter() - t0) * 1000
+
+        results: List[Results] = []
+        if self.spec.task == "classify":
+            for i in range(batch_np.shape[0]):
+                results.append(
+                    Results(
+                        boxes=np.zeros((0, 4), np.float32),
+                        scores=np.zeros((0,), np.float32),
+                        classes=np.zeros((0,), np.int32),
+                        orig_shape=shapes[i],
+                        names=self.names,
+                        probs=dets["probs"][i],
+                        speed={"inference": dt / batch_np.shape[0]},
+                    )
+                )
+            return results
+
+        ratio, pad, _ = letterbox_params(shapes[0], imgsz)
+        for i in range(batch_np.shape[0]):
+            n = int(dets["num"][i])
+            boxes = scale_boxes(dets["boxes"][i, :n], ratio, pad, shapes[i])
+            kpts = None
+            if "kpts" in dets:
+                kpts = dets["kpts"][i, :n].copy()  # (n, K, 3)
+                kpts[..., 0] = (kpts[..., 0] - pad[0]) / ratio
+                kpts[..., 1] = (kpts[..., 1] - pad[1]) / ratio
+            masks = None
+            if "mask_coefs" in dets and n > 0:
+                masks = _assemble_masks(
+                    dets["proto"][i], dets["mask_coefs"][i, :n], dets["boxes"][i, :n], imgsz
+                )
+            results.append(
+                Results(
+                    boxes=boxes,
+                    scores=dets["scores"][i, :n],
+                    classes=dets["classes"][i, :n].astype(np.int32),
+                    orig_shape=shapes[i],
+                    names=self.names,
+                    keypoints=kpts,
+                    masks=masks,
+                    speed={"inference": dt / batch_np.shape[0]},
+                )
+            )
+        return results
+
+    def predict_raw(self, images_u8: jnp.ndarray, conf: float, iou: float, imgsz: int, *, multi_label=False, max_det=None):
+        """Device-resident variant: returns the raw fixed-shape dets dict (no host sync)."""
+        md = max_det or self.max_det
+        run = self._get(images_u8.shape[0], tuple(images_u8.shape[1:3]), imgsz, multi_label, md)
+        return run(self.params, images_u8, jnp.float32(conf), jnp.float32(iou))
+
+
+def _assemble_masks(proto: np.ndarray, coefs: np.ndarray, boxes_letterboxed: np.ndarray, imgsz: int) -> np.ndarray:
+    """sigmoid(proto @ coefs) cropped to each box; returns (n, Hm, Wm) in proto grid.
+
+    Host-side (n is small post-NMS); the matmul is (Hm*Wm, nm) x (nm, n).
+    """
+    hm, wm, nm = proto.shape
+    logits = proto.reshape(-1, nm).astype(np.float32) @ coefs.astype(np.float32).T  # (Hm*Wm, n)
+    m = 1.0 / (1.0 + np.exp(-logits))
+    m = m.T.reshape(-1, hm, wm)
+    # crop to boxes (boxes are in letterboxed pixels; proto grid is imgsz/4)
+    scale = hm / imgsz
+    ys = np.arange(hm)[None, :, None]
+    xs = np.arange(wm)[None, None, :]
+    b = boxes_letterboxed * scale
+    keep = (xs >= b[:, 0, None, None]) & (xs < b[:, 2, None, None]) & (ys >= b[:, 1, None, None]) & (ys < b[:, 3, None, None])
+    return (m * keep).astype(np.float32)

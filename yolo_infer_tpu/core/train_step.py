@@ -1,0 +1,192 @@
+"""The jitted training step: forward+loss+backward+update as one XLA program.
+
+TPU-native redesign of the reference's per-batch training loop
+(reference core/robust_trainer.py:381-456): instead of eager
+autocast/GradScaler/DDP (robust_trainer.py:399-410), one jit'd function does
+bf16 forward, fp32 loss/grads, SGD+momentum update, EMA, and — the TPU
+version of the reference's per-batch try/except "robust" feature
+(robust_trainer.py:448-456) — a non-finite-loss guard that drops the update
+and counts the skipped step in-graph (SURVEY.md §5 "failure detection":
+JIT'd steps can't catch Python exceptions, so batch sanitation happens
+host-side and numeric blowups are skipped in-graph via `jnp.where`).
+
+Data parallelism: params/batch arrive sharded over a ('data','model') mesh
+(parallel.mesh); XLA GSPMD inserts the gradient psum over ICI — there is no
+explicit collective in this file, which is exactly the point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolo_infer_tpu.core.losses import DEFAULT_HYP, classification_loss, detection_loss
+from yolo_infer_tpu.models.spec import ModelSpec
+from yolo_infer_tpu.models.yolo11 import build_model, forward
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Pytree training state + static (spec, tx) handles."""
+
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    ema_params: Any
+    step: Any  # int32 scalar
+    skipped: Any  # int32 scalar: updates dropped by the finite guard
+    spec: ModelSpec
+    tx: optax.GradientTransformation
+
+    def tree(self) -> Dict[str, Any]:
+        return {
+            "params": self.params,
+            "bn_state": self.bn_state,
+            "opt_state": self.opt_state,
+            "ema_params": self.ema_params,
+            "step": self.step,
+            "skipped": self.skipped,
+        }
+
+    def with_tree(self, tree: Dict[str, Any]) -> "TrainState":
+        return dataclasses.replace(self, **tree)
+
+    def replace_params(self, params) -> "TrainState":
+        return dataclasses.replace(self, params=params)
+
+
+def make_optimizer(
+    lr: float = 0.01,
+    *,
+    lrf: float = 0.01,
+    total_steps: int = 10_000,
+    warmup_steps: int = 1000,
+    momentum: float = 0.937,
+    weight_decay: float = 5e-4,
+    cos_lr: bool = True,
+) -> optax.GradientTransformation:
+    """SGD + nesterov momentum, linear warmup then cosine/linear decay to lr*lrf.
+
+    Mirrors the training capability spec (reference core/trainer.py:589-637:
+    lr0/lrf/momentum/weight_decay/warmup defaults).
+    """
+    warmup_steps = max(1, min(warmup_steps, max(total_steps - 1, 1)))
+    if cos_lr:
+        decay = optax.cosine_decay_schedule(lr, max(total_steps - warmup_steps, 1), alpha=lrf)
+    else:
+        decay = optax.linear_schedule(lr, lr * lrf, max(total_steps - warmup_steps, 1))
+    schedule = optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps), decay], [warmup_steps]
+    )
+
+    def decay_mask(params):
+        # weight decay on conv/dense kernels only (not BN scale/bias/biases)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: any(getattr(k, "key", None) == "w" for k in path) and x.ndim > 1, params
+        )
+
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay, mask=decay_mask),
+        optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=True),
+    )
+
+
+def init_train_state(
+    rng: jax.Array,
+    task: str = "detect",
+    size: str = "n",
+    nc: int = 80,
+    imgsz: int = 640,
+    lr: float = 0.01,
+    total_steps: int = 10_000,
+    warmup_steps: int = 1000,
+    weight_decay: float = 5e-4,
+    cos_lr: bool = True,
+    **model_kw,
+) -> TrainState:
+    params, bn_state, spec = build_model(rng, task, size, nc, **model_kw)
+    tx = make_optimizer(lr, total_steps=total_steps, warmup_steps=warmup_steps, weight_decay=weight_decay, cos_lr=cos_lr)
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt_state=tx.init(params),
+        # distinct buffers: params and ema are both donated by the train step
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        step=jnp.int32(0),
+        skipped=jnp.int32(0),
+        spec=spec,
+        tx=tx,
+    )
+
+
+def make_train_step(
+    spec: ModelSpec,
+    tx: optax.GradientTransformation,
+    *,
+    hyp: Dict[str, float] = DEFAULT_HYP,
+    mesh: Any = None,  # informational; shardings ride on the input arrays
+    compute_dtype=jnp.bfloat16,
+    ema_decay: float = 0.9999,
+    ema_ramp: float = 2000.0,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted step. Batch dict (detect):
+    images (B,H,W,3) f32 [0,1] | boxes (B,M,4) xyxy px | classes (B,M) | mask (B,M).
+    Classify: images, labels (B,).
+    """
+
+    def loss_fn(params, bn_state, batch):
+        out, new_bn = forward(params, bn_state, spec, batch["images"], training=True, compute_dtype=compute_dtype)
+        if spec.task == "classify":
+            loss, metrics = classification_loss(out["logits"], batch["labels"])
+        else:
+            loss, metrics = detection_loss(
+                out["feats"], batch, nc=spec.nc, reg_max=spec.reg_max, strides=spec.strides, hyp=hyp
+            )
+        return loss, (new_bn, metrics)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _step(tree, batch):
+        (loss, (new_bn, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            tree["params"], tree["bn_state"], batch
+        )
+        finite = jnp.isfinite(loss)
+
+        updates, new_opt = tx.update(grads, tree["opt_state"], tree["params"])
+        new_params = optax.apply_updates(tree["params"], updates)
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(lambda n, o: jnp.where(finite, n, o), new, old)
+
+        new_params = sel(new_params, tree["params"])
+        new_opt = sel(new_opt, tree["opt_state"])
+        new_bn = sel(new_bn, tree["bn_state"])
+
+        step = tree["step"] + 1
+        d = ema_decay * (1.0 - jnp.exp(-step.astype(jnp.float32) / ema_ramp))
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: jnp.where(finite, e * d + p.astype(e.dtype) * (1.0 - d), e),
+            tree["ema_params"],
+            new_params,
+        )
+        new_tree = {
+            "params": new_params,
+            "bn_state": new_bn,
+            "opt_state": new_opt,
+            "ema_params": new_ema,
+            "step": step,
+            "skipped": tree["skipped"] + jnp.where(finite, 0, 1).astype(jnp.int32),
+        }
+        metrics = dict(metrics)
+        metrics["step_skipped"] = (~finite).astype(jnp.int32)
+        return new_tree, metrics
+
+    def step_fn(ts: TrainState, batch: Dict[str, jnp.ndarray]):
+        new_tree, metrics = _step(ts.tree(), batch)
+        return ts.with_tree(new_tree), metrics
+
+    return step_fn

@@ -1,0 +1,190 @@
+"""Functional NN primitives, NHWC layout (TPU-native).
+
+These replace the torch/cuDNN kernels the reference inherits through
+ultralytics (reference core/model.py:118-133 delegates every forward pass to
+`ultralytics.YOLO`). Everything here is pure-functional: parameters are plain
+pytrees (dicts of jnp arrays), batch-norm running statistics live in a
+separate `state` tree so the forward pass stays side-effect free and jittable.
+
+Layout conventions:
+  activations : (N, H, W, C)      -- NHWC, the layout XLA:TPU prefers
+  conv kernels: (KH, KW, Cin/g, Cout)  -- HWIO
+  padding     : explicit k//2 symmetric pads (matches torch Conv2d autopad
+                semantics exactly; XLA 'SAME' differs for stride 2)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# BatchNorm hyperparameters used throughout the YOLO11 family
+# (ultralytics Conv uses BatchNorm2d(eps=1e-3, momentum=0.03)).
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.03
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+def autopad(k: int, d: int = 1) -> int:
+    """Symmetric padding that keeps spatial dims for stride 1 (torch-style)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    stride: int = 1,
+    groups: int = 1,
+    dilation: int = 1,
+    padding: Optional[int] = None,
+) -> jnp.ndarray:
+    """2-D convolution, NHWC x HWIO -> NHWC with explicit torch-style padding."""
+    k = w.shape[0]
+    p = autopad(k, dilation) if padding is None else padding
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((p, p), (p, p)),
+        rhs_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def max_pool(x: jnp.ndarray, k: int, stride: int = 1, padding: Optional[int] = None) -> jnp.ndarray:
+    p = k // 2 if padding is None else padding
+    neg_inf = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
+    return lax.reduce_window(
+        x,
+        neg_inf,
+        lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (p, p), (p, p), (0, 0)),
+    )
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample (exact integer-factor semantics)."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+def adaptive_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """Global average pool -> (N, C)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Conv + BN + act block (the workhorse of the whole YOLO family)
+# ---------------------------------------------------------------------------
+
+def init_conv_block(
+    rng: jax.Array,
+    c_in: int,
+    c_out: int,
+    k: int = 1,
+    *,
+    groups: int = 1,
+    bn: bool = True,
+    bias: bool = False,
+    dtype=jnp.float32,
+) -> Tuple[Params, State]:
+    """Kaiming-uniform conv init + identity BN, mirroring torch defaults."""
+    fan_in = c_in // groups * k * k
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    w = jax.random.uniform(rng, (k, k, c_in // groups, c_out), dtype, -bound, bound)
+    params: Params = {"w": w}
+    state: State = {}
+    if bn:
+        params["gamma"] = jnp.ones((c_out,), dtype)
+        params["beta"] = jnp.zeros((c_out,), dtype)
+        state["mean"] = jnp.zeros((c_out,), jnp.float32)
+        state["var"] = jnp.ones((c_out,), jnp.float32)
+    if bias:
+        params["b"] = jnp.zeros((c_out,), dtype)
+    return params, state
+
+
+def conv_block(
+    params: Params,
+    state: Optional[State],
+    x: jnp.ndarray,
+    *,
+    stride: int = 1,
+    groups: int = 1,
+    dilation: int = 1,
+    act: bool = True,
+    training: bool = False,
+) -> Tuple[jnp.ndarray, Optional[State]]:
+    """Conv -> BN -> SiLU. Returns (y, new_state).
+
+    If the params were produced by `fold_batchnorm` the BN factors are already
+    merged into `w`/`b` and this reduces to conv+bias+act (the deploy path).
+    """
+    y = conv2d(x, params["w"], stride=stride, groups=groups, dilation=dilation)
+    new_state = state
+    if "gamma" in params:  # unfused batch norm
+        if training:
+            xf = y.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.var(xf, axis=(0, 1, 2))
+            new_state = {
+                "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+                "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * var,
+            }
+        else:
+            mean = state["mean"]
+            var = state["var"]
+        scale = params["gamma"].astype(jnp.float32) * lax.rsqrt(var + BN_EPS)
+        bias = params["beta"].astype(jnp.float32) - mean * scale
+        y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    if act:
+        y = silu(y)
+    return y, new_state
+
+
+def fold_batchnorm(params: Params, state: State) -> Params:
+    """Fold BN running stats into conv weight/bias for inference.
+
+    w' = w * gamma/sqrt(var+eps), b' = beta - mean*gamma/sqrt(var+eps).
+    This is the TPU-native analog of the conv-bn fusion the reference gets
+    implicitly from ultralytics' `fuse()` at predict time.
+    """
+    if "gamma" not in params:
+        return dict(params)
+    scale = params["gamma"].astype(jnp.float32) * lax.rsqrt(state["var"] + BN_EPS)
+    w = params["w"].astype(jnp.float32) * scale  # broadcast over O (last axis of HWIO)
+    b = params["beta"].astype(jnp.float32) - state["mean"] * scale
+    out = {"w": w.astype(params["w"].dtype), "b": b.astype(params["w"].dtype)}
+    return out
+
+
+def init_dense(rng: jax.Array, c_in: int, c_out: int, dtype=jnp.float32) -> Params:
+    bound = math.sqrt(1.0 / c_in)
+    wkey, bkey = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(wkey, (c_in, c_out), dtype, -bound, bound),
+        "b": jax.random.uniform(bkey, (c_out,), dtype, -bound, bound),
+    }
+
+
+def dense(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, params["w"].astype(x.dtype), preferred_element_type=x.dtype) + params["b"].astype(x.dtype)

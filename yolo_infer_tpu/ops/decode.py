@@ -1,0 +1,88 @@
+"""Anchor-free DFL box decode (device-side, jit-friendly).
+
+Rebuilds the decode the reference inherits from ultralytics' Detect head
+(SURVEY.md §7: DFL softmax-expectation -> dist2bbox over an anchor grid).
+All shapes are static; everything fuses into the tail of the forward graph.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_anchors(
+    feat_shapes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    grid_cell_offset: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Anchor points (A, 2) in feature-grid units and per-anchor strides (A, 1)."""
+    points, strd = [], []
+    for (h, w), s in zip(feat_shapes, strides):
+        sx = (jnp.arange(w, dtype=jnp.float32) + grid_cell_offset)
+        sy = (jnp.arange(h, dtype=jnp.float32) + grid_cell_offset)
+        gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+        points.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+        strd.append(jnp.full((h * w, 1), float(s), dtype=jnp.float32))
+    return jnp.concatenate(points, axis=0), jnp.concatenate(strd, axis=0)
+
+
+def dfl_expectation(box_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """(..., 4*reg_max) distribution logits -> (..., 4) expected l,t,r,b distances."""
+    shape = box_dist.shape[:-1]
+    logits = box_dist.reshape(*shape, 4, reg_max).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    return jnp.einsum("...r,r->...", probs, bins)
+
+
+def dist2bbox(dist: jnp.ndarray, anchor_points: jnp.ndarray, xywh: bool = False) -> jnp.ndarray:
+    """ltrb distances (A,4) + anchor points (A,2) -> boxes."""
+    lt, rb = jnp.split(dist, 2, axis=-1)
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        c = (x1y1 + x2y2) / 2
+        wh = x2y2 - x1y1
+        return jnp.concatenate([c, wh], axis=-1)
+    return jnp.concatenate([x1y1, x2y2], axis=-1)
+
+
+def decode_detections(
+    feats: List[jnp.ndarray],
+    nc: int,
+    reg_max: int = 16,
+    strides: Sequence[int] = (8, 16, 32),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-level raw head maps -> (boxes_xyxy (B, A, 4), scores (B, A, nc)).
+
+    Boxes are in letterboxed-image pixel coordinates; scores are sigmoided.
+    """
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, strd = make_anchors(feat_shapes, strides)
+    b = feats[0].shape[0]
+    flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1)
+    box_dist, cls_logits = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+    dist = dfl_expectation(box_dist, reg_max)
+    boxes = dist2bbox(dist, anchor_points[None]) * strd[None]
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    return boxes, scores
+
+
+def decode_keypoints(
+    kpts_flat: jnp.ndarray,
+    anchor_points: jnp.ndarray,
+    strd: jnp.ndarray,
+    kpt_shape: Tuple[int, int] = (17, 3),
+) -> jnp.ndarray:
+    """Raw kpt maps flattened to (B, A, nk) -> decoded (B, A, K, 3) image coords."""
+    b, a, _ = kpts_flat.shape
+    k, d = kpt_shape
+    y = kpts_flat.reshape(b, a, k, d).astype(jnp.float32)
+    xy = (y[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)) * strd[None, :, None, :]
+    if d == 3:
+        conf = jax.nn.sigmoid(y[..., 2:3])
+        return jnp.concatenate([xy, conf], axis=-1)
+    return xy

@@ -1,0 +1,165 @@
+"""Batched fixed-shape class-aware NMS for TPU.
+
+The reference relies on torchvision's C++/CUDA `nms` with dynamic output
+shapes (SURVEY.md §2b). Dynamic shapes don't exist under XLA, so this is the
+TPU-native recast (SURVEY.md §7 step 3): score top-k to a static candidate
+count, an O(K²) IoU matrix, and greedy suppression computed as a fixpoint
+iteration — each sweep is pure vector/matrix work on the VPU, and the number
+of sweeps needed equals the longest suppression chain (usually < 10), not K.
+
+Greedy-equivalence: with candidates sorted by descending score, define
+  f(kept)[j] = valid[j] and not any_i (i<j and kept[i] and iou[i,j] > t).
+Sequential greedy NMS is the unique fixpoint of f reached from kept=valid;
+after `n` sweeps every box whose suppression chain is shorter than `n` has
+its final value, so iterating to stability (capped at K sweeps) is exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from yolo_infer_tpu.ops.iou import box_iou_matrix
+
+MAX_WH = 7680.0  # class-offset stride for class-aware suppression
+
+
+def _nms_fixpoint(iou: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.ndarray, max_sweeps: int) -> jnp.ndarray:
+    """Greedy NMS keep-mask over score-sorted candidates via fixpoint sweeps."""
+    k = iou.shape[0]
+    higher = jnp.triu(jnp.ones((k, k), dtype=bool), k=1)  # higher[i, j]: i outranks j
+    overlap = (iou > iou_thres) & higher
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_sweeps)
+
+    def body(carry):
+        kept, _, it = carry
+        suppressed = jnp.any(overlap & kept[:, None], axis=0)
+        new_kept = valid & ~suppressed
+        return new_kept, jnp.any(new_kept != kept), it + 1
+
+    kept, _, _ = lax.while_loop(cond, body, (valid, jnp.array(True), jnp.array(0)))
+    return kept
+
+
+def _single_nms(
+    boxes: jnp.ndarray,  # (A, 4) xyxy
+    scores: jnp.ndarray,  # (A, nc)
+    conf_thres: jnp.ndarray,
+    iou_thres: jnp.ndarray,
+    *,
+    pre_topk: int,
+    max_det: int,
+    class_aware: bool,
+    multi_label: bool,
+) -> Dict[str, jnp.ndarray]:
+    a, nc = scores.shape
+    if multi_label and nc > 1:
+        flat = scores.reshape(-1)  # (A*nc,)
+        cand = jnp.where(flat > conf_thres, flat, -1.0)
+        k = min(pre_topk, a * nc)
+        top_scores, top_idx = lax.top_k(cand, k)
+        anchor_idx = top_idx // nc
+        cls = (top_idx % nc).astype(jnp.float32)
+        cboxes = boxes[anchor_idx]
+        cand_anchor = anchor_idx
+    else:
+        best = jnp.max(scores, axis=-1)
+        cls_best = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+        cand = jnp.where(best > conf_thres, best, -1.0)
+        k = min(pre_topk, a)
+        top_scores, top_idx = lax.top_k(cand, k)
+        cls = cls_best[top_idx]
+        cboxes = boxes[top_idx]
+        cand_anchor = top_idx
+
+    valid = top_scores > 0
+    sup_boxes = cboxes + (cls[:, None] * MAX_WH if class_aware else 0.0)
+    iou = box_iou_matrix(sup_boxes, sup_boxes)
+    kept = _nms_fixpoint(iou, valid, iou_thres, max_sweeps=k)
+
+    final = jnp.where(kept, top_scores, -1.0)
+    if k < max_det:  # fewer candidates than output slots: pad before top_k
+        pad = max_det - k
+        final = jnp.concatenate([final, jnp.full((pad,), -1.0)])
+        cboxes = jnp.concatenate([cboxes, jnp.zeros((pad, 4))])
+        cls = jnp.concatenate([cls, jnp.zeros((pad,))])
+        cand_anchor = jnp.concatenate([cand_anchor, jnp.zeros((pad,), cand_anchor.dtype)])
+    out_scores, sel = lax.top_k(final, max_det)
+    out_valid = out_scores > 0
+    z = jnp.float32(0)
+    return {
+        "boxes": jnp.where(out_valid[:, None], cboxes[sel], z),
+        "scores": jnp.where(out_valid, out_scores, z),
+        "classes": jnp.where(out_valid, cls[sel], -1.0),
+        "valid": out_valid,
+        "num": jnp.sum(out_valid.astype(jnp.int32)),
+        "anchor_idx": jnp.where(out_valid, cand_anchor[sel], 0).astype(jnp.int32),
+    }
+
+
+@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware", "multi_label"))
+def batched_nms(
+    boxes: jnp.ndarray,  # (B, A, 4) xyxy, letterboxed pixels
+    scores: jnp.ndarray,  # (B, A, nc) sigmoided
+    conf_thres=0.25,
+    iou_thres=0.45,
+    *,
+    pre_topk: int = 1024,
+    max_det: int = 300,
+    class_aware: bool = True,
+    multi_label: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Class-aware greedy NMS over a batch. All outputs have static shapes:
+
+    boxes (B, max_det, 4), scores (B, max_det), classes (B, max_det),
+    valid (B, max_det) bool, num (B,) int32. Invalid slots are zero/-1.
+
+    `conf_thres`/`iou_thres` are traced scalars — changing them does NOT
+    recompile. `pre_topk`/`max_det` are static.
+    """
+    conf_thres = jnp.asarray(conf_thres, jnp.float32)
+    iou_thres = jnp.asarray(iou_thres, jnp.float32)
+    fn = partial(
+        _single_nms,
+        pre_topk=pre_topk,
+        max_det=max_det,
+        class_aware=class_aware,
+        multi_label=multi_label,
+    )
+    return jax.vmap(lambda b, s: fn(b, s, conf_thres, iou_thres))(
+        boxes.astype(jnp.float32), scores.astype(jnp.float32)
+    )
+
+
+def nms_numpy_reference(boxes, scores, iou_thres):
+    """O(K²) sequential greedy NMS on host — the oracle for tests."""
+    import numpy as np
+
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for pos, i in enumerate(order):
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order[pos + 1 :]:
+            if suppressed[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+            area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            area_j = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            iou = inter / (area_i + area_j - inter + 1e-7)
+            if iou > iou_thres:
+                suppressed[j] = True
+    return np.array(keep, dtype=np.int64)
