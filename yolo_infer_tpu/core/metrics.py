@@ -1,0 +1,154 @@
+"""Detection metrics: COCO-style mAP50-95 / mAP50 / mAP75, precision, recall.
+
+The reference reads these numbers out of the ultralytics val engine
+(reference core/validator.py:329-361 pulls box.map/map50/map75/mp/mr); here
+the metric engine itself is implemented: greedy IoU matching at 10 thresholds
+and 101-point interpolated AP. Host-side numpy — the per-image matching is
+tiny (<=300 preds) and runs overlapped with the next device batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
+
+
+def box_iou_np(a: np.ndarray, b: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Pairwise IoU, a (N,4) x b (M,4) xyxy -> (N,M)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = (rb - lt).clip(0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+    return inter / (area_a + area_b - inter + eps)
+
+
+def match_predictions(
+    pred_boxes: np.ndarray,  # (N, 4) xyxy, sorted by confidence desc
+    pred_cls: np.ndarray,  # (N,)
+    gt_boxes: np.ndarray,  # (M, 4)
+    gt_cls: np.ndarray,  # (M,)
+    iou_thresholds: np.ndarray = IOU_THRESHOLDS,
+) -> np.ndarray:
+    """TP matrix (N, T): pred i is a true positive at threshold t.
+
+    Greedy: predictions in confidence order claim the best unmatched
+    same-class GT with IoU >= threshold.
+    """
+    n, t = len(pred_boxes), len(iou_thresholds)
+    tp = np.zeros((n, t), dtype=bool)
+    if n == 0 or len(gt_boxes) == 0:
+        return tp
+    iou = box_iou_np(pred_boxes, gt_boxes)
+    iou = iou * (pred_cls[:, None] == gt_cls[None, :])
+    for ti, thr in enumerate(iou_thresholds):
+        taken = np.zeros(len(gt_boxes), dtype=bool)
+        for i in range(n):
+            cand = np.where((iou[i] >= thr) & ~taken)[0]
+            if len(cand):
+                j = cand[np.argmax(iou[i, cand])]
+                taken[j] = True
+                tp[i, ti] = True
+    return tp
+
+
+def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
+    """101-point interpolated AP (COCO convention: step interpolation —
+    precision at recall r is the max precision achieved at any recall >= r)."""
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[1.0], precision, [0.0]])
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))  # precision envelope
+    x = np.linspace(0, 1, 101)
+    idx = np.minimum(np.searchsorted(mrec, x, side="left"), len(mpre) - 1)
+    return float(mpre[idx].mean())
+
+
+class DetMetrics:
+    """Accumulates per-image matches, computes mAP and P/R at best-F1 conf."""
+
+    def __init__(self, nc: int, iou_thresholds: np.ndarray = IOU_THRESHOLDS):
+        self.nc = nc
+        self.iou_thresholds = iou_thresholds
+        self._tp: List[np.ndarray] = []
+        self._conf: List[np.ndarray] = []
+        self._pred_cls: List[np.ndarray] = []
+        self._gt_cls: List[np.ndarray] = []
+
+    def update(
+        self,
+        pred_boxes: np.ndarray,
+        pred_scores: np.ndarray,
+        pred_cls: np.ndarray,
+        gt_boxes: np.ndarray,
+        gt_cls: np.ndarray,
+    ) -> None:
+        order = np.argsort(-pred_scores, kind="stable")
+        pred_boxes, pred_scores, pred_cls = pred_boxes[order], pred_scores[order], pred_cls[order]
+        tp = match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, self.iou_thresholds)
+        self._tp.append(tp)
+        self._conf.append(pred_scores)
+        self._pred_cls.append(pred_cls)
+        self._gt_cls.append(gt_cls)
+
+    def compute(self) -> Dict[str, float]:
+        if not self._tp:
+            return {"map": 0.0, "map50": 0.0, "map75": 0.0, "precision": 0.0, "recall": 0.0}
+        tp = np.concatenate(self._tp)  # (N, T)
+        conf = np.concatenate(self._conf)
+        pred_cls = np.concatenate(self._pred_cls)
+        gt_cls = np.concatenate(self._gt_cls) if self._gt_cls else np.zeros((0,))
+        order = np.argsort(-conf, kind="stable")
+        tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+
+        classes = np.unique(gt_cls).astype(int)
+        t = len(self.iou_thresholds)
+        ap = np.zeros((len(classes), t))
+        p_curve, r_curve = [], []
+        for ci, c in enumerate(classes):
+            mask = pred_cls == c
+            n_gt = int((gt_cls == c).sum())
+            if n_gt == 0:
+                continue
+            if mask.sum() == 0:
+                p_curve.append(np.zeros(1))
+                r_curve.append(np.zeros(1))
+                continue
+            tpc = tp[mask].cumsum(axis=0)  # (Nc, T)
+            fpc = (~tp[mask]).cumsum(axis=0)
+            recall = tpc / n_gt
+            precision = tpc / np.maximum(tpc + fpc, 1e-9)
+            for ti in range(t):
+                ap[ci, ti] = compute_ap(recall[:, ti], precision[:, ti])
+            p_curve.append(precision[:, 0])
+            r_curve.append(recall[:, 0])
+
+        # P/R at the confidence maximizing F1 (IoU=0.5), averaged over classes
+        precision_out, recall_out = 0.0, 0.0
+        if p_curve:
+            ps, rs = [], []
+            for pc, rc in zip(p_curve, r_curve):
+                f1 = 2 * pc * rc / np.maximum(pc + rc, 1e-9)
+                i = int(np.argmax(f1)) if len(f1) else 0
+                ps.append(pc[i] if len(pc) else 0.0)
+                rs.append(rc[i] if len(rc) else 0.0)
+            precision_out = float(np.mean(ps))
+            recall_out = float(np.mean(rs))
+
+        i75 = int(np.argmin(np.abs(self.iou_thresholds - 0.75)))
+        return {
+            "map": float(ap.mean()) if ap.size else 0.0,
+            "map50": float(ap[:, 0].mean()) if ap.size else 0.0,
+            "map75": float(ap[:, i75].mean()) if ap.size else 0.0,
+            "precision": precision_out,
+            "recall": recall_out,
+            "per_class_ap50": {int(c): float(ap[ci, 0]) for ci, c in enumerate(classes)},
+        }
+
+    def reset(self) -> None:
+        self._tp, self._conf, self._pred_cls, self._gt_cls = [], [], [], []

@@ -69,11 +69,14 @@ def make_optimizer(
     momentum: float = 0.937,
     weight_decay: float = 5e-4,
     cos_lr: bool = True,
+    freeze=None,  # Optional[Callable[[top-level layer key], bool]]
 ) -> optax.GradientTransformation:
     """SGD + nesterov momentum, linear warmup then cosine/linear decay to lr*lrf.
 
     Mirrors the training capability spec (reference core/trainer.py:589-637:
-    lr0/lrf/momentum/weight_decay/warmup defaults).
+    lr0/lrf/momentum/weight_decay/warmup defaults). `freeze` is the
+    functional analog of requires_grad=False (reference trainer.py:383-404):
+    updates for frozen top-level layers are zeroed inside the optimizer.
     """
     warmup_steps = max(1, min(warmup_steps, max(total_steps - 1, 1)))
     if cos_lr:
@@ -90,10 +93,17 @@ def make_optimizer(
             lambda path, x: any(getattr(k, "key", None) == "w" for k in path) and x.ndim > 1, params
         )
 
-    return optax.chain(
+    chain = [
         optax.add_decayed_weights(weight_decay, mask=decay_mask),
         optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=True),
-    )
+    ]
+    if freeze is not None:
+
+        def freeze_mask(params):
+            return {k: jax.tree_util.tree_map(lambda _: bool(freeze(k)), v) for k, v in params.items()}
+
+        chain.append(optax.masked(optax.set_to_zero(), freeze_mask))
+    return optax.chain(*chain)
 
 
 def init_train_state(

@@ -1,0 +1,271 @@
+"""YOLO11Validator — batched validation with native mAP computation.
+
+API parity with the reference's YOLO11Validator (reference core/validator.py:
+validate :86 with defaults conf=0.001/iou=0.6/imgsz=640/batch=16 :121-136,
+result extraction :329-361, benchmark_speed sweep :158-221, compare_models
+:223-284, cross_validate :286-327, summary writers :473-624), but the val
+engine itself is in-repo: the device runs a jitted
+letterbox->forward->decode->NMS program per batch while the host overlaps
+metric matching of the previous batch (double-buffered, SURVEY.md §7 step 4).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from yolo_infer_tpu.core.metrics import DetMetrics
+from yolo_infer_tpu.data.dataset import YOLODataset
+from yolo_infer_tpu.ops.letterbox import scale_boxes
+from yolo_infer_tpu.utils.helpers import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+class YOLO11Validator:
+    """Validate a YOLO11Model on a YOLO-format dataset."""
+
+    def __init__(
+        self,
+        model: Any = None,
+        model_path: Optional[str] = None,
+        output_dir: Union[str, Path] = "validation_results",
+        device: Optional[str] = None,
+    ):
+        if model is None:
+            from yolo_infer_tpu.core.model import YOLO11Model
+
+            model = YOLO11Model(model_path or "yolo11n", device=device)
+        self.model = model
+        self.output_dir = Path(output_dir)
+
+    # ------------------------------------------------------------------ val
+
+    def validate(
+        self,
+        data: Union[str, Path, Dict[str, Any]],
+        imgsz: int = 640,
+        batch: int = 16,
+        conf: float = 0.001,
+        iou: float = 0.6,
+        max_det: int = 300,
+        split: str = "val",
+        save_json: bool = False,
+        multi_label: bool = True,
+        verbose: bool = True,
+    ) -> Dict[str, Any]:
+        """Run validation; returns {metrics, speed, num_images, ...}."""
+        import jax.numpy as jnp
+
+        ds = YOLODataset(data, split=split)
+        metrics = DetMetrics(nc=ds.nc)
+        predictor = self.model.predictor
+
+        t_start = time.perf_counter()
+        n_images = 0
+        infer_time = 0.0
+        pending = None  # (host_future_dets, metas, n) — overlap device/host
+
+        def drain(dets_np, metas, n):
+            for i in range(n):
+                m = metas[i]
+                k = int(dets_np["num"][i])
+                boxes = scale_boxes(dets_np["boxes"][i, :k], m["ratio"], m["pad"], m["orig_shape"])
+                metrics.update(
+                    boxes,
+                    dets_np["scores"][i, :k],
+                    dets_np["classes"][i, :k].astype(np.int32),
+                    m["boxes"],
+                    m["classes"],
+                )
+
+        for batch_data in ds.iter_val_batches(batch_size=batch, imgsz=imgsz):
+            t0 = time.perf_counter()
+            dets = predictor.predict_raw(
+                jnp.asarray(batch_data["images"]), conf, iou, imgsz,
+                multi_label=multi_label, max_det=max_det,
+            )
+            if pending is not None:
+                drain(*pending)  # host matches previous batch while device runs
+            dets_np = {k: np.asarray(v) for k, v in dets.items() if v is not None}
+            infer_time += time.perf_counter() - t0
+            pending = (dets_np, batch_data["metas"], batch_data["n"])
+            n_images += batch_data["n"]
+        if pending is not None:
+            drain(*pending)
+
+        results = metrics.compute()
+        total_time = time.perf_counter() - t_start
+        out = {
+            "metrics": {
+                "mAP50-95": results["map"],
+                "mAP50": results["map50"],
+                "mAP75": results["map75"],
+                "precision": results["precision"],
+                "recall": results["recall"],
+            },
+            "per_class_ap50": results.get("per_class_ap50", {}),
+            "num_images": n_images,
+            "speed": {
+                "total_s": total_time,
+                "inference_ms_per_image": infer_time / max(n_images, 1) * 1e3,
+                "images_per_s": n_images / max(total_time, 1e-9),
+            },
+            "config": {"imgsz": imgsz, "batch": batch, "conf": conf, "iou": iou, "split": split},
+        }
+        if verbose:
+            logger.info("validated %d images: mAP50-95=%.4f mAP50=%.4f", n_images, results["map"], results["map50"])
+        self._save_validation_summary(out)
+        if save_json:
+            (self.output_dir / "validation_results.json").write_text(json.dumps(out, indent=2, default=float))
+        return out
+
+    # ------------------------------------------------------- speed benchmark
+
+    def benchmark_speed(
+        self,
+        imgsz_list: Sequence[int] = (320, 640, 1280),
+        batch_sizes: Sequence[int] = (1, 8, 16, 32),
+        runs: int = 50,
+    ) -> Dict[str, Any]:
+        """Latency/throughput sweep (reference core/validator.py:158-221)."""
+        results: Dict[str, Any] = {}
+        for imgsz in imgsz_list:
+            for b in batch_sizes:
+                key = f"imgsz{imgsz}_batch{b}"
+                try:
+                    results[key] = self.model.benchmark(imgsz=imgsz, batch=b, runs=runs, warmup=5)
+                except Exception as e:  # noqa: BLE001 — sweep continues (OOM on big configs)
+                    logger.warning("benchmark %s failed: %s", key, e)
+                    results[key] = {"error": str(e)}
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        (self.output_dir / "speed_benchmark.json").write_text(json.dumps(results, indent=2, default=float))
+        return results
+
+    # ------------------------------------------------------------- compare
+
+    def compare_models(
+        self,
+        model_paths: Sequence[str],
+        data: Union[str, Path, Dict[str, Any]],
+        **val_kw,
+    ) -> Dict[str, Any]:
+        """Validate several checkpoints on the same data and rank them."""
+        from yolo_infer_tpu.core.model import YOLO11Model
+
+        rows = {}
+        for path in model_paths:
+            model = YOLO11Model(path)
+            v = YOLO11Validator(model=model, output_dir=self.output_dir)
+            r = v.validate(data, verbose=False, **val_kw)
+            rows[str(path)] = {
+                "mAP50-95": r["metrics"]["mAP50-95"],
+                "mAP50": r["metrics"]["mAP50"],
+                "images_per_s": r["speed"]["images_per_s"],
+            }
+        ranking = sorted(rows, key=lambda k: rows[k]["mAP50-95"], reverse=True)
+        out = {"results": rows, "ranking": ranking, "best": ranking[0] if ranking else None}
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        (self.output_dir / "model_comparison.json").write_text(json.dumps(out, indent=2, default=float))
+        return out
+
+    def cross_validate(
+        self,
+        data: Union[str, Path, Dict[str, Any]],
+        k: int = 5,
+        split: str = "val",
+        **val_kw,
+    ) -> Dict[str, Any]:
+        """K-fold over the split's images (real folds — the reference
+        re-validated the identical split k times, core/validator.py:311-318)."""
+        ds = YOLODataset(data, split=split)
+        idx = np.arange(len(ds))
+        rng = np.random.default_rng(0)
+        rng.shuffle(idx)
+        folds = np.array_split(idx, k)
+        scores = []
+        for fi, fold in enumerate(folds):
+            sub = _SubsetDataset(ds, fold.tolist())
+            metrics = self._validate_dataset(sub, **val_kw)
+            scores.append(metrics["metrics"]["mAP50-95"])
+            logger.info("fold %d/%d: mAP50-95=%.4f (%d imgs)", fi + 1, k, scores[-1], len(fold))
+        return {
+            "folds": scores,
+            "mean_mAP50-95": float(np.mean(scores)),
+            "std_mAP50-95": float(np.std(scores)),
+            "k": k,
+        }
+
+    def _validate_dataset(self, ds, predictor=None, imgsz: int = 640, batch: int = 16, conf: float = 0.001, iou: float = 0.6, **kw) -> Dict[str, Any]:
+        import jax.numpy as jnp
+
+        predictor = predictor or self.model.predictor
+        metrics = DetMetrics(nc=ds.nc)
+        n_images = 0
+        for batch_data in ds.iter_val_batches(batch_size=batch, imgsz=imgsz):
+            dets = predictor.predict_raw(jnp.asarray(batch_data["images"]), conf, iou, imgsz, multi_label=True)
+            dets_np = {k2: np.asarray(v) for k2, v in dets.items() if v is not None}
+            for i in range(batch_data["n"]):
+                m = batch_data["metas"][i]
+                kk = int(dets_np["num"][i])
+                boxes = scale_boxes(dets_np["boxes"][i, :kk], m["ratio"], m["pad"], m["orig_shape"])
+                metrics.update(boxes, dets_np["scores"][i, :kk], dets_np["classes"][i, :kk].astype(np.int32), m["boxes"], m["classes"])
+            n_images += batch_data["n"]
+        r = metrics.compute()
+        return {"metrics": {"mAP50-95": r["map"], "mAP50": r["map50"], "mAP75": r["map75"], "precision": r["precision"], "recall": r["recall"]}, "num_images": n_images}
+
+    # ------------------------------------------------------------- reporting
+
+    def _save_validation_summary(self, results: Dict[str, Any]) -> None:
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        lines = ["Validation Summary", "=" * 40]
+        for k, v in results["metrics"].items():
+            lines.append(f"{k:>12}: {v:.4f}")
+        sp = results["speed"]
+        lines += [
+            f"{'images':>12}: {results['num_images']}",
+            f"{'img/s':>12}: {sp['images_per_s']:.1f}",
+            f"{'ms/img':>12}: {sp['inference_ms_per_image']:.2f}",
+        ]
+        (self.output_dir / "validation_summary.txt").write_text("\n".join(lines) + "\n")
+
+
+class _SubsetDataset:
+    """View over a subset of a YOLODataset's images (for cross-validation)."""
+
+    def __init__(self, ds: YOLODataset, indices: List[int]):
+        self._ds = ds
+        self._indices = indices
+        self.nc = ds.nc
+        self.names = ds.names
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, i):
+        return self._ds[self._indices[i]]
+
+    def iter_val_batches(self, batch_size=16, imgsz=640):
+        from yolo_infer_tpu.ops.letterbox import letterbox
+
+        for start in range(0, len(self), batch_size):
+            records = [self[i] for i in range(start, min(start + batch_size, len(self)))]
+            imgs, metas = [], []
+            for r in records:
+                lb, ratio, pad = letterbox(r["image"], imgsz)
+                imgs.append(lb)
+                metas.append({"ratio": ratio, "pad": pad, **{k: r[k] for k in ("path", "orig_shape", "classes", "boxes")}})
+            n = len(imgs)
+            if n < batch_size:
+                imgs.extend([np.zeros_like(imgs[0])] * (batch_size - n))
+            yield {"images": np.stack(imgs), "metas": metas, "n": n}
+
+
+def create_validator(model_path: str = "yolo11n", **kw) -> YOLO11Validator:
+    """Factory (reference core/validator.py:639-672)."""
+    return YOLO11Validator(model_path=model_path, **kw)

@@ -1,0 +1,149 @@
+"""Training batch pipeline: augment on host threads, prefetch to the device.
+
+Replaces the torch DataLoader+DDP-sampler machinery the reference inherits
+(reference core/robust_trainer.py:364-380: sampler epoch seeding, warmup
+dataloader). TPU-native shape: a background thread builds fixed-shape
+augmented batches (static (B, S, S, 3) images, labels padded to `max_boxes`
+with a validity mask — the padding that lets the loss jit once) while the
+device executes the previous step; a bounded queue provides double-buffering.
+Host-side batch *sanitation* (dropping malformed labels before dispatch)
+is half of the robust-training story (SURVEY.md §5 failure detection).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import random
+import threading
+from typing import Any, Dict, Generator, Iterator, Optional
+
+import numpy as np
+
+from yolo_infer_tpu.data.augment import DEFAULT_AUG, augment_sample
+from yolo_infer_tpu.data.dataset import YOLODataset
+
+logger = logging.getLogger(__name__)
+
+
+def pad_labels(boxes: np.ndarray, classes: np.ndarray, max_boxes: int):
+    """Fixed-shape (max_boxes, ...) label tensors + validity mask."""
+    n = min(len(boxes), max_boxes)
+    out_boxes = np.zeros((max_boxes, 4), np.float32)
+    out_cls = np.zeros((max_boxes,), np.int32)
+    mask = np.zeros((max_boxes,), bool)
+    if n:
+        out_boxes[:n] = boxes[:n]
+        out_cls[:n] = classes[:n]
+        mask[:n] = True
+    return out_boxes, out_cls, mask
+
+
+class TrainLoader:
+    """Iterates augmented fixed-shape batches with background prefetch."""
+
+    def __init__(
+        self,
+        dataset: YOLODataset,
+        batch_size: int = 16,
+        imgsz: int = 640,
+        max_boxes: int = 120,
+        hyp: Optional[Dict[str, float]] = None,
+        seed: int = 0,
+        prefetch: int = 2,
+        workers: int = 1,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.imgsz = imgsz
+        self.max_boxes = max_boxes
+        self.hyp = {**DEFAULT_AUG, **(hyp or {})}
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+        self.mosaic_enabled = self.hyp["mosaic"] > 0
+
+    def __len__(self) -> int:
+        return (len(self.ds) + self.batch_size - 1) // self.batch_size
+
+    def close_mosaic(self) -> None:
+        """Disable mosaic for the final close_mosaic epochs (capability parity
+        with the reference's close-mosaic switchover, robust_trainer.py:371-373)."""
+        if self.mosaic_enabled:
+            logger.info("closing mosaic augmentation")
+        self.mosaic_enabled = False
+
+    def _build_batch(self, rng: random.Random, indices) -> Dict[str, np.ndarray]:
+        images, boxes_l, cls_l, mask_l = [], [], [], []
+        for i in indices:
+            use_mosaic = self.mosaic_enabled and rng.random() < self.hyp["mosaic"]
+            if use_mosaic:
+                extra = [rng.randrange(len(self.ds)) for _ in range(3)]
+                records = [self._safe_record(j) for j in [i, *extra]]
+            else:
+                records = [self._safe_record(i)]
+            img, boxes, cls = augment_sample(records, rng, imgsz=self.imgsz, hyp=self.hyp, use_mosaic=use_mosaic)
+            b, c, m = pad_labels(boxes, cls, self.max_boxes)
+            images.append(img)
+            boxes_l.append(b)
+            cls_l.append(c)
+            mask_l.append(m)
+        return {
+            "images": (np.stack(images).astype(np.float32) / 255.0),
+            "boxes": np.stack(boxes_l),
+            "classes": np.stack(cls_l),
+            "mask": np.stack(mask_l),
+        }
+
+    def _safe_record(self, i: int) -> Dict[str, np.ndarray]:
+        """Batch sanitation: a corrupt image/label never reaches the device —
+        it is logged and replaced (host-side half of robust training)."""
+        try:
+            return self.ds[i]
+        except Exception as e:  # noqa: BLE001
+            logger.warning("skipping corrupt sample %d (%s)", i, e)
+            return {
+                "image": np.full((self.imgsz, self.imgsz, 3), 114, np.uint8),
+                "boxes": np.zeros((0, 4), np.float32),
+                "classes": np.zeros((0,), np.int32),
+                "orig_shape": (self.imgsz, self.imgsz),
+                "path": None,
+            }
+
+    def epoch_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Prefetching iterator over one epoch (deterministic per (seed, epoch))."""
+        rng = random.Random(self.seed + epoch * 9973)
+        order = list(range(len(self.ds)))
+        rng.shuffle(order)
+        chunks = [order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)]
+        # drop ragged final chunk only if there are other chunks (static shapes)
+        chunks = [c for c in chunks if len(c) == self.batch_size] or chunks[:1]
+        if len(chunks[0]) < self.batch_size:  # tiny dataset: repeat to fill
+            chunks[0] = (chunks[0] * self.batch_size)[: self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for chunk in chunks:
+                if stop.is_set():
+                    return
+                q.put(self._build_batch(rng, chunk))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -51,7 +51,8 @@ class CheckpointManager:
     ) -> Path:
         """train_state: pytree dict (params, opt_state, model_state, rng...)."""
         path = self.checkpoint_dir / f"checkpoint_epoch_{epoch:04d}.msgpack"
-        payload = {"train_state": _to_host(train_state)}
+        # to_state_dict converts tuples/namedtuples (optax states) to dicts
+        payload = {"train_state": _to_host(serialization.to_state_dict(train_state))}
         path.write_bytes(serialization.msgpack_serialize(payload))
         meta = {
             "epoch": epoch,
