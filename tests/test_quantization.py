@@ -1,0 +1,130 @@
+"""int8 quantization: primitives, dynamic/PTQ quantizers, registry, persistence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_infer_tpu.nn.quantize import (
+    dequantize_weights,
+    fake_quantize,
+    quantize_params_tree,
+    quantize_weights_per_channel,
+)
+from yolo_infer_tpu.optimization.base import OptimizationRegistry, OptimizationPipeline
+from yolo_infer_tpu.optimization.quantization.quantizers import (
+    DynamicQuantizer,
+    PostTrainingQuantizer,
+    QuantizationUtils,
+    create_quantizer,
+)
+
+
+def test_weight_quant_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 16, 32)).astype(np.float32))
+    w_q, scale = quantize_weights_per_channel(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (32,)
+    back = dequantize_weights(w_q, scale)
+    err = np.abs(np.asarray(back - w))
+    assert err.max() <= np.asarray(scale).max() / 2 + 1e-6  # within half a quant step
+
+
+def test_fake_quantize_ste_gradient():
+    x = jnp.linspace(-1, 1, 8)
+    g = jax.grad(lambda v: jnp.sum(fake_quantize(v, jnp.float32(0.01))))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)  # straight-through
+
+
+@pytest.fixture(scope="module")
+def float_model():
+    from yolo_infer_tpu.core.model import YOLO11Model
+
+    return YOLO11Model("yolo11n", compute_dtype=jnp.float32)
+
+
+def test_quantize_params_tree_dtypes(float_model):
+    q = quantize_params_tree(float_model.deploy_params)
+    assert q["0"]["w_q"].dtype == jnp.int8
+    assert "w_scale" in q["0"]
+    # head final convs (conv2d_bias, inside Detect lists) keep float weights
+    leaves = jax.tree_util.tree_leaves(q)
+    assert any(l.dtype == jnp.int8 for l in leaves)
+
+
+def test_dynamic_quantizer_outputs_close(float_model):
+    from yolo_infer_tpu.models.yolo11 import forward
+
+    q = DynamicQuantizer(float_model)
+    qmodel = q.optimize()
+    assert QuantizationUtils.is_quantized(qmodel)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    ref, _ = forward(float_model.deploy_params, None, float_model.spec, x, compute_dtype=jnp.float32)
+    got, _ = forward(qmodel.deploy_params, None, qmodel.spec, x, compute_dtype=jnp.float32)
+    for a, b in zip(ref["feats"], got["feats"]):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / denom < 0.35, np.abs(a - b).mean() / denom
+
+
+def test_dynamic_quantizer_predict_runs(float_model):
+    qmodel = DynamicQuantizer(float_model).optimize()
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    res = qmodel.predict(img, conf=0.0001, imgsz=64)
+    assert len(res) == 1
+
+
+def test_ptq_calibration_and_predict(float_model):
+    q = PostTrainingQuantizer(float_model, {"imgsz": 64})
+    rng = np.random.default_rng(0)
+    q.set_calibration_data([rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8) for _ in range(3)])
+    qmodel = q.optimize()
+    scales = np.asarray(qmodel.quant_act_scales)
+    assert scales.ndim == 1 and len(scales) > 50  # one per conv_block conv
+    assert (scales > 0).all()
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    res = qmodel.predict(img, conf=0.0001, imgsz=64)
+    assert len(res) == 1
+    info = q.get_optimization_info()
+    assert info["method"] == "ptq" and info["num_observed_convs"] == len(scales)
+
+
+def test_ptq_requires_calibration(float_model):
+    with pytest.raises(RuntimeError, match="calibration"):
+        PostTrainingQuantizer(float_model).optimize()
+
+
+def test_quantized_save_load_roundtrip(float_model, tmp_path):
+    from yolo_infer_tpu.core.model import YOLO11Model
+
+    q = PostTrainingQuantizer(float_model, {"imgsz": 64})
+    q.set_calibration_data([np.zeros((1, 64, 64, 3), np.uint8)])
+    qmodel = q.optimize()
+    path = q.save_optimized_model(tmp_path / "q.msgpack")
+    loaded = YOLO11Model(path, compute_dtype=jnp.float32)
+    assert loaded.quant_act_scales is not None
+    assert QuantizationUtils.is_quantized(loaded)
+    img = np.random.default_rng(1).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    a = qmodel.predict(img, conf=0.0001, imgsz=64)[0]
+    b = loaded.predict(img, conf=0.0001, imgsz=64)[0]
+    assert len(a) == len(b)
+
+
+def test_registry_and_factory(float_model):
+    assert set(OptimizationRegistry.available()) >= {"dynamic", "ptq", "qat"}
+    assert isinstance(create_quantizer("dynamic", float_model), DynamicQuantizer)
+    with pytest.raises(ValueError):
+        create_quantizer("nope", float_model)
+
+
+def test_size_compression(float_model):
+    qmodel = DynamicQuantizer(float_model).optimize()
+    sizes = QuantizationUtils.compare_model_sizes(float_model, qmodel)
+    assert sizes["compression_ratio"] > 2.0  # fp32 -> int8 on conv weights
+
+
+def test_pipeline(float_model):
+    pipe = OptimizationPipeline(float_model).add_step(DynamicQuantizer(float_model))
+    out = pipe.run()
+    assert QuantizationUtils.is_quantized(out)
+    assert pipe.results[0]["optimizer"] == "DynamicQuantizer"

@@ -72,6 +72,7 @@ class YOLO11Model:
         self.device = device or self._get_default_device()
         self.compute_dtype = compute_dtype
         self._predictor: Optional[Predictor] = None
+        self.quant_act_scales = None  # set by PTQ quantization
 
         path = Path(model_path)
         if path.exists() and path.suffix in (".msgpack", ".ckpt"):
@@ -132,6 +133,8 @@ class YOLO11Model:
         if "state" in raw:
             meta["state"] = raw["state"]
         self._init_from_params(raw["params"], meta, fused=bool(meta.get("fused", "state" not in raw)))
+        if "quant_act_scales" in raw:
+            self.quant_act_scales = jnp.asarray(raw["quant_act_scales"])
         logger.info("loaded %s (%s/%s, fused=%s)", path, self.task, self.size, self.state is None)
 
     # ------------------------------------------------------------------ infer
@@ -148,9 +151,38 @@ class YOLO11Model:
     def predictor(self) -> Predictor:
         if self._predictor is None:
             self._predictor = Predictor(
-                self.deploy_params, self.spec, compute_dtype=self.compute_dtype, names=self.names
+                self.deploy_params, self.spec, compute_dtype=self.compute_dtype, names=self.names,
+                quant_act_scales=self.quant_act_scales,
             )
         return self._predictor
+
+    @classmethod
+    def from_params(
+        cls,
+        params: Any,
+        *,
+        task: str,
+        size: str,
+        nc: int = 80,
+        names: Optional[Dict[int, str]] = None,
+        fused: bool = True,
+        state: Any = None,
+        quant_act_scales=None,
+        compute_dtype=jnp.bfloat16,
+        model_path: str = "in-memory",
+    ) -> "YOLO11Model":
+        """Build a wrapper around an existing params tree (no re-init)."""
+        obj = cls.__new__(cls)
+        obj.model_path = model_path
+        obj.device = cls._get_default_device()
+        obj.compute_dtype = compute_dtype
+        obj._predictor = None
+        obj.quant_act_scales = quant_act_scales
+        meta = {"task": task, "size": size, "nc": nc, "names": names or COCO_NAMES}
+        if not fused:
+            meta["state"] = state
+        obj._init_from_params(params, meta, fused=fused)
+        return obj
 
     def invalidate(self):
         """Drop cached deploy params/predictor after a params update."""
@@ -205,6 +237,8 @@ class YOLO11Model:
         else:
             payload["params"] = jax.tree_util.tree_map(np.asarray, self.params)
             payload["state"] = jax.tree_util.tree_map(np.asarray, self.state)
+        if self.quant_act_scales is not None:
+            payload["quant_act_scales"] = np.asarray(self.quant_act_scales)
         path.write_bytes(serialization.msgpack_serialize(payload))
         logger.info("saved model to %s", path)
         return path

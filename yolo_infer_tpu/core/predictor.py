@@ -61,6 +61,7 @@ class Predictor:
         pre_topk: int = 1024,
         max_det: int = 300,
         names: Optional[Dict[int, str]] = None,
+        quant_act_scales: Optional[jnp.ndarray] = None,  # static PTQ scales
     ):
         self.params = params
         self.spec = spec
@@ -68,7 +69,17 @@ class Predictor:
         self.pre_topk = pre_topk
         self.max_det = max_det
         self.names = names or dict(COCO_NAMES)
+        self.quant_act_scales = quant_act_scales
         self._cache: Dict[Tuple, Any] = {}
+
+    def _forward(self, params, x):
+        """Model forward, inside a static-quant context when PTQ scales exist."""
+        from yolo_infer_tpu.nn.quantize import QuantContext, quant_context
+
+        if self.quant_act_scales is not None:
+            with quant_context(QuantContext("static", act_scales=self.quant_act_scales)):
+                return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype)
+        return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype)
 
     # -- compiled program ---------------------------------------------------
 
@@ -80,7 +91,7 @@ class Predictor:
         @jax.jit
         def run(params, images_u8, conf, iou):
             x = preprocess_batch(images_u8, out_hw=(imgsz, imgsz), dtype=compute_dtype)
-            out, _ = forward(params, None, spec, x, compute_dtype=compute_dtype)
+            out, _ = self._forward(params, x)
             extras: Dict[str, jnp.ndarray] = {}
             if spec.task == "classify":
                 return {"probs": jax.nn.softmax(out["logits"], axis=-1)}

@@ -143,14 +143,25 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     ema_decay: float = 0.9999,
     ema_ramp: float = 2000.0,
+    qat: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted step. Batch dict (detect):
     images (B,H,W,3) f32 [0,1] | boxes (B,M,4) xyxy px | classes (B,M) | mask (B,M).
     Classify: images, labels (B,).
+    With qat=True the forward fake-quantizes weights/activations (STE),
+    so the trained weights survive int8 conversion (nn.quantize).
     """
 
+    def _fwd(params, bn_state, images):
+        if qat:
+            from yolo_infer_tpu.nn.quantize import QuantContext, quant_context
+
+            with quant_context(QuantContext("fake")):
+                return forward(params, bn_state, spec, images, training=True, compute_dtype=compute_dtype)
+        return forward(params, bn_state, spec, images, training=True, compute_dtype=compute_dtype)
+
     def loss_fn(params, bn_state, batch):
-        out, new_bn = forward(params, bn_state, spec, batch["images"], training=True, compute_dtype=compute_dtype)
+        out, new_bn = _fwd(params, bn_state, batch["images"])
         if spec.task == "classify":
             loss, metrics = classification_loss(out["logits"], batch["labels"])
         else:

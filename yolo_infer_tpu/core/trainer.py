@@ -57,6 +57,7 @@ class TrainingConfig:
     resume: bool = False
     val: bool = True
     close_mosaic: int = 10
+    qat: bool = False  # quantization-aware training (fake-quant in the step)
     # loss weights (reference configs/default.yaml:48-50)
     box: float = 7.5
     cls: float = 0.5
@@ -218,7 +219,7 @@ class YOLO11Trainer:
             params=shard_params(ts.params, mesh),
             ema_params=shard_params(ts.ema_params, mesh),
         )
-        step_fn = make_train_step(model.spec, tx, hyp=cfg.loss_hyp(), mesh=mesh)
+        step_fn = make_train_step(model.spec, tx, hyp=cfg.loss_hyp(), mesh=mesh, qat=cfg.qat)
 
         ckpt_mgr = CheckpointManager(self.run_dir / "checkpoints")
         start_epoch = 0

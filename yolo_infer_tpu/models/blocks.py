@@ -54,7 +54,8 @@ def init_dwconv(rng, c1: int, c2: int, k: int = 3, dtype=jnp.float32):
 
 def apply_conv(p: Params, s: Optional[State], x, *, stride: int = 1, act: bool = True, training: bool = False):
     # groups inferred from weight shape: HWIO has I = c_in // groups
-    groups = x.shape[-1] // p["w"].shape[2]
+    w = p["w"] if "w" in p else p["w_q"]
+    groups = x.shape[-1] // w.shape[2]
     return conv_block(p, s, x, stride=stride, groups=groups, act=act, training=training)
 
 

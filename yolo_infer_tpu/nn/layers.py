@@ -136,8 +136,33 @@ def conv_block(
 
     If the params were produced by `fold_batchnorm` the BN factors are already
     merged into `w`/`b` and this reduces to conv+bias+act (the deploy path).
+    Int8-quantized nodes (key 'w_q', see nn.quantize) run the int8 MXU path;
+    an active QuantContext switches observe/static/fake-quant behavior.
     """
-    y = conv2d(x, params["w"], stride=stride, groups=groups, dilation=dilation)
+    from yolo_infer_tpu.nn import quantize as Q
+
+    ctx = Q.current_context()
+    if "w_q" in params:  # int8 deploy path
+        x_scale = ctx.next_scale() if ctx is not None and ctx.mode == "static" else None
+        y = Q.quantized_conv2d(
+            x, params["w_q"], params["w_scale"], stride=stride, groups=groups, x_scale=x_scale
+        ).astype(x.dtype)
+        if "b" in params:
+            y = y + params["b"].astype(y.dtype)
+        if act:
+            y = silu(y)
+        return y, state
+    if ctx is not None and ctx.mode == "observe":
+        ctx.observe(x)
+    w = params["w"]
+    if ctx is not None and ctx.mode == "fake" and w.ndim == 4:
+        w_scale = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2)), 1e-12) / 127.0
+        w = Q.fake_quantize(w.astype(jnp.float32), w_scale).astype(w.dtype)
+        x = Q.fake_quantize(
+            x.astype(jnp.float32),
+            ctx.next_scale() if ctx.act_scales is not None else Q.dynamic_act_scale(x),
+        ).astype(x.dtype)
+    y = conv2d(x, w, stride=stride, groups=groups, dilation=dilation)
     new_state = state
     if "gamma" in params:  # unfused batch norm
         if training:
