@@ -1,0 +1,122 @@
+"""Converter parity: torch checkpoint -> native params -> identical outputs.
+
+The torch reference (tests/torch_ref.py) is an independent implementation of
+the same spec with ultralytics-style naming; agreement here validates both
+the converter's name mapping and the JAX forward's numerics (SURVEY.md §7
+hard part 6: weight conversion fidelity).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from yolo_infer_tpu.models import build_spec, forward
+from yolo_infer_tpu.models.convert import (
+    convert_pt_checkpoint,
+    convert_state_dict,
+    extract_state_dict,
+    infer_model_meta,
+    permissive_torch_load,
+)
+
+from torch_ref import TorchYOLO11
+
+
+def _save_ckpt(tmp_path, tmodel, name="m.pt"):
+    path = tmp_path / name
+    torch.save({"model": tmodel, "epoch": 0}, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def torch_nano():
+    torch.manual_seed(0)
+    spec = build_spec("detect", "n", nc=80)
+    m = TorchYOLO11(spec).eval()
+    return m, spec
+
+
+def test_extract_state_dict_names(torch_nano, tmp_path):
+    tmodel, _ = torch_nano
+    path = _save_ckpt(tmp_path, tmodel)
+    obj = permissive_torch_load(path)
+    sd = extract_state_dict(obj["model"])
+    assert "model.0.conv.weight" in sd
+    assert "model.2.cv1.bn.running_mean" in sd
+    assert "model.10.m.0.attn.qkv.conv.weight" in sd
+    assert "model.23.cv3.0.0.0.conv.weight" in sd  # DWConv inside cls branch
+
+
+def test_infer_meta(torch_nano, tmp_path):
+    tmodel, _ = torch_nano
+    sd = extract_state_dict(tmodel)
+    meta = infer_model_meta(sd)
+    assert meta["size"] == "n" and meta["task"] == "detect" and meta["nc"] == 80
+
+
+def test_full_detect_parity(torch_nano, tmp_path):
+    tmodel, spec = torch_nano
+    path = _save_ckpt(tmp_path, tmodel)
+    params, meta = convert_pt_checkpoint(path)
+    assert meta["task"] == "detect" and meta["size"] == "n"
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out, _ = forward(params, meta["state"], spec, jnp.asarray(x), compute_dtype=jnp.float32)
+    for t_lvl, j_lvl in zip(ref, out["feats"]):
+        t_np = t_lvl.numpy().transpose(0, 2, 3, 1)
+        j_np = np.asarray(j_lvl)
+        np.testing.assert_allclose(t_np, j_np, atol=2e-4, rtol=1e-3)
+
+
+def test_segment_parity(tmp_path):
+    torch.manual_seed(1)
+    spec = build_spec("segment", "n", nc=3)
+    tmodel = TorchYOLO11(spec).eval()
+    path = _save_ckpt(tmp_path, tmodel, "seg.pt")
+    params, meta = convert_pt_checkpoint(path)
+    assert meta["task"] == "segment" and meta["nc"] == 3
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    head = tmodel.model[len(spec.layers) - 1]
+    # torch side: run DAG up to head inputs manually via full forward pieces
+    feats_t = tmodel(xt)  # detect maps from TSegment.forward (TDetect part)
+    out, _ = forward(params, meta["state"], spec, jnp.asarray(x), compute_dtype=jnp.float32)
+    for t_lvl, j_lvl in zip(feats_t, out["feats"]):
+        np.testing.assert_allclose(t_lvl.numpy().transpose(0, 2, 3, 1), np.asarray(j_lvl), atol=2e-4, rtol=1e-3)
+    # proto output parity
+    assert out["proto"].shape[-1] == spec.nm
+
+
+def test_model_wrapper_loads_pt(torch_nano, tmp_path):
+    from yolo_infer_tpu.core.model import YOLO11Model
+
+    tmodel, _ = torch_nano
+    path = _save_ckpt(tmp_path, tmodel, "wrapper.pt")
+    m = YOLO11Model(path, compute_dtype=jnp.float32)
+    assert m.task == "detect" and m.size == "n"
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    res = m.predict(img, conf=0.0001, imgsz=64)
+    assert len(res) == 1
+
+
+def test_convert_to_file_roundtrip(torch_nano, tmp_path):
+    from yolo_infer_tpu.core.model import YOLO11Model
+    from yolo_infer_tpu.models.convert import convert_to_file
+
+    tmodel, _ = torch_nano
+    pt = _save_ckpt(tmp_path, tmodel, "rt.pt")
+    native = convert_to_file(pt, tmp_path / "rt.msgpack")
+    m1 = YOLO11Model(pt, compute_dtype=jnp.float32)
+    m2 = YOLO11Model(native, compute_dtype=jnp.float32)
+    img = np.random.default_rng(2).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    a = m1.predict(img, conf=0.0001, imgsz=64)[0]
+    b = m2.predict(img, conf=0.0001, imgsz=64)[0]
+    assert len(a) == len(b)
+    if len(a):
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)

@@ -81,7 +81,7 @@ class YOLO11Model:
             from yolo_infer_tpu.models.convert import convert_pt_checkpoint
 
             params, meta = convert_pt_checkpoint(path)
-            self._init_from_params(params, meta, fused=True)
+            self._init_from_params(params, meta, fused=False)
         else:
             parsed = parse_model_name(self.model_path)
             if parsed is None:

@@ -360,25 +360,36 @@ def apply_extra_branch(ps, ss, xs, training=False):
 
 
 def init_proto(rng, c1: int, c_: int, nm: int, dtype=jnp.float32):
+    """Mask-prototype head: Conv -> ConvTranspose2d(2,2) -> Conv -> Conv."""
+    import math as _math
+
     r1, r2, r3, r4 = _split(rng, 4)
     p1, s1 = init_conv(r1, c1, c_, 3, dtype=dtype)
-    # upsample implemented as 2x nearest + 3x3 conv (TPU-friendly; replaces ConvTranspose)
-    p_up, s_up = init_conv(r2, c_, c_, 3, dtype=dtype)
+    fan_in = c_ * 2 * 2
+    bound = _math.sqrt(1.0 / fan_in) * _math.sqrt(3.0)
+    wk, bk = jax.random.split(r2)
+    p_up = {
+        # key "wt" (not "w") so quantization/fold tree-walks skip this
+        # transposed-conv node
+        "wt": jax.random.uniform(wk, (2, 2, c_, c_), dtype, -bound, bound),  # (kh,kw,O,I)
+        "b": jax.random.uniform(bk, (c_,), dtype, -bound, bound),
+    }
     p2, s2 = init_conv(r3, c_, c_, 3, dtype=dtype)
     p3, s3 = init_conv(r4, c_, nm, 1, dtype=dtype)
     return (
         {"cv1": p1, "up": p_up, "cv2": p2, "cv3": p3},
-        {"cv1": s1, "up": s_up, "cv2": s2, "cv3": s3},
+        {"cv1": s1, "cv2": s2, "cv3": s3},
     )
 
 
 def apply_proto(p, s, x, training=False):
+    from yolo_infer_tpu.nn.layers import conv_transpose2x
+
     y, s1 = apply_conv(p["cv1"], s["cv1"] if s else None, x, training=training)
-    y = upsample2x(y)
-    y, s_up = apply_conv(p["up"], s["up"] if s else None, y, training=training)
+    y = conv_transpose2x(y, p["up"]["wt"], p["up"].get("b"))
     y, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, y, training=training)
     y, s3 = apply_conv(p["cv3"], s["cv3"] if s else None, y, training=training)
-    return y, ({"cv1": s1, "up": s_up, "cv2": s2, "cv3": s3} if s else s)
+    return y, ({"cv1": s1, "cv2": s2, "cv3": s3} if s else s)
 
 
 def init_classify(rng, c1: int, nc: int, c_hidden: int = 1280, dtype=jnp.float32):

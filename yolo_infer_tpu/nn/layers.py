@@ -85,6 +85,25 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(x, 2, axis=2)
 
 
+def conv_transpose2x(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """2x2-stride-2 transposed conv (torch ConvTranspose2d semantics, exact).
+
+    `w` layout: (kh, kw, Cout, Cin) — from torch's (Cin, Cout, kh, kw) via
+    transpose(2, 3, 1, 0); verified bit-exact against torch.
+    """
+    y = lax.conv_transpose(
+        x,
+        w.astype(x.dtype),
+        strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def adaptive_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     """Global average pool -> (N, C)."""
     return jnp.mean(x, axis=(1, 2))
