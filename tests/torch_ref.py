@@ -200,6 +200,15 @@ class TPose(TDetect):
         )
 
 
+class TOBB(TDetect):
+    def __init__(self, nc, ch, ne=1, reg_max=16):
+        super().__init__(nc, ch, reg_max)
+        c4 = max(ch[0] // 4, ne)
+        self.cv4 = nn.ModuleList(
+            nn.Sequential(TConv(c, c4, 3), TConv(c4, c4, 3), nn.Conv2d(c4, ne, 1)) for c in ch
+        )
+
+
 class TorchYOLO11(nn.Module):
     """Full DAG executor over spec.layers with ultralytics-style `model.<i>` naming."""
 
@@ -227,6 +236,8 @@ class TorchYOLO11(nn.Module):
                 m = TSegment(spec.nc, layer.c_in, spec.nm, spec.reg_max)
             elif t == "Pose":
                 m = TPose(spec.nc, layer.c_in, spec.kpt_shape[0] * spec.kpt_shape[1], spec.reg_max)
+            elif t == "OBB":
+                m = TOBB(spec.nc, layer.c_in, spec.ne, spec.reg_max)
             else:
                 raise NotImplementedError(t)
             layers.append(m)
@@ -246,7 +257,7 @@ class TorchYOLO11(nn.Module):
                 inp = prev if (layer.frm == layer.idx - 1 or layer.idx == 0) else ys[layer.frm]
             if layer.typ == "Concat":
                 y = torch.cat(inp, 1)
-            elif layer.typ in ("Detect", "Segment", "Pose"):
+            elif layer.typ in ("Detect", "Segment", "Pose", "OBB"):
                 return m(inp)
             else:
                 y = m(inp)

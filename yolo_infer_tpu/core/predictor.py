@@ -44,6 +44,7 @@ class Results:
     keypoints: Optional[np.ndarray] = None  # (n, K, 3) pose
     masks: Optional[np.ndarray] = None  # (n, H, W) segment
     probs: Optional[np.ndarray] = None  # (nc,) classify
+    obb: Optional[np.ndarray] = None  # (n, 5) cx,cy,w,h,rad oriented boxes
 
     def __len__(self) -> int:
         return int(self.boxes.shape[0])
@@ -95,6 +96,17 @@ class Predictor:
             extras: Dict[str, jnp.ndarray] = {}
             if spec.task == "classify":
                 return {"probs": jax.nn.softmax(out["logits"], axis=-1)}
+            if spec.task == "obb":
+                from yolo_infer_tpu.ops.decode import decode_raw
+                from yolo_infer_tpu.ops.rotated import batched_rotated_nms, dist2rbox
+
+                b = out["angle"][0].shape[0]
+                ang = jnp.concatenate([a.reshape(b, -1, a.shape[-1]) for a in out["angle"]], axis=1)
+                angle = (jax.nn.sigmoid(ang.astype(jnp.float32)[..., 0]) - 0.25) * jnp.pi  # (B, A)
+                dist, scores, ap, st = decode_raw(out["feats"], spec.nc, spec.reg_max, spec.strides)
+                rb = dist2rbox(dist, angle, ap[None]) * st[None]  # (B, A, 4) px
+                rboxes = jnp.concatenate([rb, angle[..., None]], axis=-1)  # (B, A, 5)
+                return batched_rotated_nms(rboxes, scores, conf, iou, pre_topk=pre_topk, max_det=max_det)
             boxes, scores = decode_detections(out["feats"], spec.nc, spec.reg_max, spec.strides)
             dets = batched_nms(
                 boxes,
@@ -121,12 +133,6 @@ class Predictor:
                     mc, dets["anchor_idx"][..., None], axis=1
                 )  # (B, max_det, nm)
                 dets["proto"] = out["proto"]
-            elif spec.task == "obb":
-                b = out["angle"][0].shape[0]
-                ang = jnp.concatenate([a.reshape(b, -1, a.shape[-1]) for a in out["angle"]], axis=1)
-                # angle in [-pi/4, 3pi/4): (sigmoid - 0.25) * pi
-                ang = (jax.nn.sigmoid(ang.astype(jnp.float32)) - 0.25) * jnp.pi
-                dets["angle"] = jnp.take_along_axis(ang, dets["anchor_idx"][..., None], axis=1)[..., 0]
             return dets
 
         return run
@@ -188,7 +194,15 @@ class Predictor:
         ratio, pad, _ = letterbox_params(shapes[0], imgsz)
         for i in range(batch_np.shape[0]):
             n = int(dets["num"][i])
-            boxes = scale_boxes(dets["boxes"][i, :n], ratio, pad, shapes[i])
+            obb = None
+            if dets["boxes"].shape[-1] == 5:  # oriented boxes: unpad/unscale centers + sizes
+                obb = dets["boxes"][i, :n].copy()
+                obb[:, 0] = (obb[:, 0] - pad[0]) / ratio
+                obb[:, 1] = (obb[:, 1] - pad[1]) / ratio
+                obb[:, 2:4] /= ratio
+                boxes = _obb_to_xyxy(obb, shapes[i])
+            else:
+                boxes = scale_boxes(dets["boxes"][i, :n], ratio, pad, shapes[i])
             kpts = None
             if "kpts" in dets:
                 kpts = dets["kpts"][i, :n].copy()  # (n, K, 3)
@@ -208,6 +222,7 @@ class Predictor:
                     names=self.names,
                     keypoints=kpts,
                     masks=masks,
+                    obb=obb,
                     speed={"inference": dt / batch_np.shape[0]},
                 )
             )
@@ -218,6 +233,18 @@ class Predictor:
         md = max_det or self.max_det
         run = self._get(images_u8.shape[0], tuple(images_u8.shape[1:3]), imgsz, multi_label, md)
         return run(self.params, images_u8, jnp.float32(conf), jnp.float32(iou))
+
+
+def _obb_to_xyxy(obb: np.ndarray, shape_hw) -> np.ndarray:
+    """Axis-aligned envelope of rotated boxes (for .boxes compatibility)."""
+    cx, cy, w, h, r = (obb[:, i] for i in range(5))
+    cos, sin = np.abs(np.cos(r)), np.abs(np.sin(r))
+    ex = (w * cos + h * sin) / 2
+    ey = (w * sin + h * cos) / 2
+    out = np.stack([cx - ex, cy - ey, cx + ex, cy + ey], axis=1)
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, shape_hw[1])
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, shape_hw[0])
+    return out.astype(np.float32)
 
 
 def _assemble_masks(proto: np.ndarray, coefs: np.ndarray, boxes_letterboxed: np.ndarray, imgsz: int) -> np.ndarray:

@@ -71,6 +71,27 @@ def decode_detections(
     return boxes, scores
 
 
+def decode_raw(
+    feats: List[jnp.ndarray],
+    nc: int,
+    reg_max: int = 16,
+    strides: Sequence[int] = (8, 16, 32),
+):
+    """Per-level maps -> (ltrb_dist (B,A,4), scores (B,A,nc), anchors (A,2), strd (A,1)).
+
+    Shared front half of box decode; OBB combines the distances with a decoded
+    angle (ops.rotated.dist2rbox) instead of dist2bbox.
+    """
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, strd = make_anchors(feat_shapes, strides)
+    b = feats[0].shape[0]
+    flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1)
+    box_dist, cls_logits = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+    dist = dfl_expectation(box_dist, reg_max)
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    return dist, scores, anchor_points, strd
+
+
 def decode_keypoints(
     kpts_flat: jnp.ndarray,
     anchor_points: jnp.ndarray,

@@ -1,0 +1,145 @@
+"""Oriented bounding boxes: decode + probIoU rotated NMS (jit-friendly).
+
+The second bespoke kernel SURVEY.md §7 calls out (step 6 / hard part 1):
+rotated suppression has no torchvision analog to lean on. Boxes are
+(cx, cy, w, h, angle[rad]); IoU uses the Gaussian-approximation probIoU
+(covariance form of a rotated box), which is closed-form, smooth, and maps
+to pure VPU elementwise work — ideal for TPU, unlike polygon clipping.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from yolo_infer_tpu.ops.nms import _nms_fixpoint, MAX_WH
+
+
+def dist2rbox(dist: jnp.ndarray, angle: jnp.ndarray, anchor_points: jnp.ndarray) -> jnp.ndarray:
+    """DFL ltrb distances + angle -> rotated boxes (cx, cy, w, h) in grid units.
+
+    The (l,t,r,b) offsets are interpreted in the box's rotated frame.
+    """
+    lt, rb = jnp.split(dist, 2, axis=-1)
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    xf = (rb[..., 0] - lt[..., 0]) / 2
+    yf = (rb[..., 1] - lt[..., 1]) / 2
+    cx = xf * c - yf * s + anchor_points[..., 0]
+    cy = xf * s + yf * c + anchor_points[..., 1]
+    w = lt[..., 0] + rb[..., 0]
+    h = lt[..., 1] + rb[..., 1]
+    return jnp.stack([cx, cy, w, h], axis=-1)
+
+
+def _cov(boxes: jnp.ndarray):
+    """Rotated box -> Gaussian covariance terms (a, b, c)."""
+    w = boxes[..., 2]
+    h = boxes[..., 3]
+    r = boxes[..., 4]
+    a_ = (w**2) / 12.0
+    b_ = (h**2) / 12.0
+    cos = jnp.cos(r)
+    sin = jnp.sin(r)
+    a = a_ * cos**2 + b_ * sin**2
+    b = a_ * sin**2 + b_ * cos**2
+    c = (a_ - b_) * cos * sin
+    return a, b, c
+
+
+def probiou_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Pairwise probIoU: (N, 5) x (M, 5) -> (N, M) in [0, 1]."""
+    a1, b1, c1 = _cov(boxes1)
+    a2, b2, c2 = _cov(boxes2)
+    x1, y1 = boxes1[..., 0], boxes1[..., 1]
+    x2, y2 = boxes2[..., 0], boxes2[..., 1]
+
+    a1, b1, c1, x1, y1 = (v[:, None] for v in (a1, b1, c1, x1, y1))
+    a2, b2, c2, x2, y2 = (v[None, :] for v in (a2, b2, c2, x2, y2))
+
+    dx = x1 - x2
+    dy = y1 - y2
+    sa = a1 + a2
+    sb = b1 + b2
+    sc = c1 + c2
+    # Bhattacharyya distance with Sigma = (Sigma1 + Sigma2)/2; working with the
+    # SUM of covariances: det(sum) = 4*det(Sigma), hence the 0.5 / 4x factors.
+    denom = sa * sb - sc**2 + eps
+    t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.5
+    det1 = jnp.maximum(a1 * b1 - c1**2, 0.0)
+    det2 = jnp.maximum(a2 * b2 - c2**2, 0.0)
+    t3 = jnp.log(denom / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return 1.0 - hd
+
+
+def probiou_pairs(b1: jnp.ndarray, b2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Element-aligned probIoU for identically-shaped (..., 5) boxes."""
+    a1, b1_, c1 = _cov(b1)
+    a2, b2_, c2 = _cov(b2)
+    dx = b1[..., 0] - b2[..., 0]
+    dy = b1[..., 1] - b2[..., 1]
+    sa, sb, sc = a1 + a2, b1_ + b2_, c1 + c2
+    denom = sa * sb - sc**2 + eps
+    t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.5
+    det1 = jnp.maximum(a1 * b1_ - c1**2, 0.0)
+    det2 = jnp.maximum(a2 * b2_ - c2**2, 0.0)
+    t3 = jnp.log(denom / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t3, eps, 100.0)
+    return 1.0 - jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+
+
+def _single_rotated_nms(rboxes, scores, conf_thres, iou_thres, *, pre_topk, max_det):
+    a, nc = scores.shape
+    best = jnp.max(scores, axis=-1)
+    cls_best = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+    cand = jnp.where(best > conf_thres, best, -1.0)
+    k = min(pre_topk, a)
+    top_scores, top_idx = lax.top_k(cand, k)
+    cls = cls_best[top_idx]
+    cb = rboxes[top_idx]
+    valid = top_scores > 0
+    # class-aware: shift centers apart per class
+    sup = cb.at[:, 0].add(cls * MAX_WH)
+    iou = probiou_matrix(sup, sup)
+    kept = _nms_fixpoint(iou, valid, iou_thres, max_sweeps=k)
+    final = jnp.where(kept, top_scores, -1.0)
+    if k < max_det:
+        pad = max_det - k
+        final = jnp.concatenate([final, jnp.full((pad,), -1.0)])
+        cb = jnp.concatenate([cb, jnp.zeros((pad, 5))])
+        cls = jnp.concatenate([cls, jnp.zeros((pad,))])
+        top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
+    out_scores, sel = lax.top_k(final, max_det)
+    out_valid = out_scores > 0
+    z = jnp.float32(0)
+    return {
+        "boxes": jnp.where(out_valid[:, None], cb[sel], z),  # (max_det, 5) xywhr
+        "scores": jnp.where(out_valid, out_scores, z),
+        "classes": jnp.where(out_valid, cls[sel], -1.0),
+        "valid": out_valid,
+        "num": jnp.sum(out_valid.astype(jnp.int32)),
+        "anchor_idx": jnp.where(out_valid, top_idx[sel], 0).astype(jnp.int32),
+    }
+
+
+@partial(jax.jit, static_argnames=("pre_topk", "max_det"))
+def batched_rotated_nms(
+    rboxes: jnp.ndarray,  # (B, A, 5) xywhr, letterboxed pixels
+    scores: jnp.ndarray,  # (B, A, nc)
+    conf_thres=0.25,
+    iou_thres=0.45,
+    *,
+    pre_topk: int = 1024,
+    max_det: int = 300,
+) -> Dict[str, jnp.ndarray]:
+    conf_thres = jnp.asarray(conf_thres, jnp.float32)
+    iou_thres = jnp.asarray(iou_thres, jnp.float32)
+    fn = partial(_single_rotated_nms, pre_topk=pre_topk, max_det=max_det)
+    return jax.vmap(lambda b, s: fn(b, s, conf_thres, iou_thres))(
+        rboxes.astype(jnp.float32), scores.astype(jnp.float32)
+    )
