@@ -69,6 +69,65 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(mpre[idx].mean())
 
 
+class ConfusionMatrix:
+    """Detection confusion matrix with a background class (row = predicted,
+    col = actual; index nc = background). Mirrors the capability surfaced by
+    the reference's val_matrix recipe (reference official_scripts/
+    val_matrix.py:1-6)."""
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45):
+        self.nc = nc
+        self.conf = conf
+        self.iou_thres = iou_thres
+        self.matrix = np.zeros((nc + 1, nc + 1), dtype=np.int64)
+
+    def process_batch(
+        self,
+        pred_boxes: np.ndarray,
+        pred_scores: np.ndarray,
+        pred_cls: np.ndarray,
+        gt_boxes: np.ndarray,
+        gt_cls: np.ndarray,
+    ) -> None:
+        keep = pred_scores >= self.conf
+        pred_boxes, pred_cls = pred_boxes[keep], pred_cls[keep].astype(int)
+        gt_cls = gt_cls.astype(int)
+        if len(gt_boxes) == 0:
+            for c in pred_cls:
+                self.matrix[c, self.nc] += 1  # false positive vs background
+            return
+        if len(pred_boxes) == 0:
+            for c in gt_cls:
+                self.matrix[self.nc, c] += 1  # missed gt
+            return
+        iou = box_iou_np(pred_boxes, gt_boxes)
+        matched_gt = np.full(len(gt_boxes), -1)
+        matched_pred = np.full(len(pred_boxes), False)
+        # greedy by IoU
+        pairs = np.argwhere(iou >= self.iou_thres)
+        if len(pairs):
+            order = np.argsort(-iou[pairs[:, 0], pairs[:, 1]], kind="stable")
+            for pi, gi in pairs[order]:
+                if matched_gt[gi] == -1 and not matched_pred[pi]:
+                    matched_gt[gi] = pi
+                    matched_pred[pi] = True
+                    self.matrix[pred_cls[pi], gt_cls[gi]] += 1
+        for gi, c in enumerate(gt_cls):
+            if matched_gt[gi] == -1:
+                self.matrix[self.nc, c] += 1
+        for pi, c in enumerate(pred_cls):
+            if not matched_pred[pi]:
+                self.matrix[c, self.nc] += 1
+
+    def to_text(self, names: Optional[Dict[int, str]] = None) -> str:
+        labels = [(names or {}).get(i, str(i)) for i in range(self.nc)] + ["bg"]
+        width = max(len(l) for l in labels) + 1
+        lines = [" " * width + "".join(f"{l:>{width}}" for l in labels) + "  (actual)"]
+        for i, row in enumerate(self.matrix):
+            lines.append(f"{labels[i]:>{width}}" + "".join(f"{v:>{width}}" for v in row))
+        return "\n".join(lines)
+
+
 class DetMetrics:
     """Accumulates per-image matches, computes mAP and P/R at best-F1 conf."""
 

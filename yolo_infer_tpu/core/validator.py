@@ -58,12 +58,16 @@ class YOLO11Validator:
         save_json: bool = False,
         multi_label: bool = True,
         verbose: bool = True,
+        confusion_matrix: bool = False,
     ) -> Dict[str, Any]:
         """Run validation; returns {metrics, speed, num_images, ...}."""
         import jax.numpy as jnp
 
+        from yolo_infer_tpu.core.metrics import ConfusionMatrix
+
         ds = YOLODataset(data, split=split)
         metrics = DetMetrics(nc=ds.nc)
+        cm = ConfusionMatrix(nc=ds.nc) if confusion_matrix else None
         predictor = self.model.predictor
 
         t_start = time.perf_counter()
@@ -83,6 +87,11 @@ class YOLO11Validator:
                     m["boxes"],
                     m["classes"],
                 )
+                if cm is not None:
+                    cm.process_batch(
+                        boxes, dets_np["scores"][i, :k], dets_np["classes"][i, :k],
+                        m["boxes"], m["classes"],
+                    )
 
         for batch_data in ds.iter_val_batches(batch_size=batch, imgsz=imgsz):
             t0 = time.perf_counter()
@@ -121,6 +130,11 @@ class YOLO11Validator:
         if verbose:
             logger.info("validated %d images: mAP50-95=%.4f mAP50=%.4f", n_images, results["map"], results["map50"])
         self._save_validation_summary(out)
+        if cm is not None:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
+            text = cm.to_text(ds.names)
+            (self.output_dir / "confusion_matrix.txt").write_text(text + "\n")
+            out["confusion_matrix"] = cm.matrix.tolist()
         if save_json:
             (self.output_dir / "validation_results.json").write_text(json.dumps(out, indent=2, default=float))
         return out
