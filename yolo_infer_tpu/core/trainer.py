@@ -175,11 +175,17 @@ class YOLO11Trainer:
         cfg.save(self.run_dir / "config.json")
         log = logging.getLogger("yolo_infer_tpu.train")
 
-        train_ds = YOLODataset(cfg.data, split="train")
-        loader = TrainLoader(
-            train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, max_boxes=cfg.max_boxes,
-            hyp=cfg.aug_hyp(), seed=cfg.seed,
-        )
+        if self.model.task == "classify":
+            from yolo_infer_tpu.data.classify import ClassifyDataset, ClassifyLoader
+
+            train_ds = ClassifyDataset(cfg.data, split="train")
+            loader = ClassifyLoader(train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, seed=cfg.seed)
+        else:
+            train_ds = YOLODataset(cfg.data, split="train")
+            loader = TrainLoader(
+                train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, max_boxes=cfg.max_boxes,
+                hyp=cfg.aug_hyp(), seed=cfg.seed,
+            )
         steps_per_epoch = len(loader)
         total_steps = steps_per_epoch * cfg.epochs
         warmup_steps = int(cfg.warmup_epochs * steps_per_epoch)
@@ -268,7 +274,10 @@ class YOLO11Trainer:
                 val_metrics = self._validate_ema(ts, cfg)
                 self.callbacks.fire("on_val_end", epoch=epoch, metrics=val_metrics)
                 row.update({f"val_{k}": v for k, v in val_metrics.items()})
-                fitness = 0.9 * val_metrics["mAP50-95"] + 0.1 * val_metrics["mAP50"]
+                if self.model.task == "classify":
+                    fitness = val_metrics.get("top1", 0.0)
+                else:
+                    fitness = 0.9 * val_metrics["mAP50-95"] + 0.1 * val_metrics["mAP50"]
                 if fitness > best_fitness:
                     best_fitness = fitness
                     epochs_without_improvement = 0
@@ -350,6 +359,15 @@ class YOLO11Trainer:
 
         deploy = cast_params(fold_model(ts.ema_params, ts.bn_state), jnp.bfloat16)
         predictor = Predictor(deploy, ts.spec, compute_dtype=self.model.compute_dtype)
+        if self.model.task == "classify":
+            from yolo_infer_tpu.data.classify import ClassifyDataset, evaluate_classifier
+
+            try:
+                ds = ClassifyDataset(cfg.data, split="val")
+            except (FileNotFoundError, ValueError):
+                return {"top1": 0.0, "top5": 0.0}
+            out = evaluate_classifier(self.model, ds, imgsz=cfg.imgsz, batch=cfg.batch, predictor=predictor)
+            return {"top1": out["top1"], "top5": out["top5"]}
         try:
             val_ds = YOLODataset(cfg.data, split="val")
         except (FileNotFoundError, ValueError):
