@@ -29,7 +29,8 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "100"))
 
     model = YOLO11Model(f"yolo11{size}")
-    result = model.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=10)
+    profile_dir = os.environ.get("BENCH_PROFILE")  # set to a dir to capture a jax.profiler trace
+    result = model.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=10, profile_dir=profile_dir)
     fps = result["throughput_imgs_per_s"]
 
     # vs_baseline: ratio to the most recent recorded round, else 1.0

@@ -290,7 +290,7 @@ class YOLO11Model:
             "backend": jax.default_backend(),
         }
 
-    def benchmark(self, imgsz: int = 640, batch: int = 1, runs: int = 100, warmup: int = 10, conf: float = 0.25, iou: float = 0.45) -> Dict[str, Any]:
+    def benchmark(self, imgsz: int = 640, batch: int = 1, runs: int = 100, warmup: int = 10, conf: float = 0.25, iou: float = 0.45, profile_dir: Optional[str] = None) -> Dict[str, Any]:
         """Timed end-to-end inference with REAL device synchronization.
 
         `jax.block_until_ready` does not actually sync through remote-TPU
@@ -316,12 +316,17 @@ class YOLO11Model:
             out = self.predictor.predict_raw(dev_images, conf, iou, imgsz)
         sync(out)
 
-        # sustained throughput: queue all runs, sync once
-        t0 = time.perf_counter()
-        for _ in range(runs):
-            out = self.predictor.predict_raw(dev_images, conf, iou, imgsz)
-        sync(out)
-        sustained = (time.perf_counter() - t0) / runs
+        # sustained throughput: queue all runs, sync once (optionally traced —
+        # the TPU answer to the reference's no-tracer gap, SURVEY.md §5)
+        import contextlib
+
+        trace_cm = jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+        with trace_cm:
+            t0 = time.perf_counter()
+            for _ in range(runs):
+                out = self.predictor.predict_raw(dev_images, conf, iou, imgsz)
+            sync(out)
+            sustained = (time.perf_counter() - t0) / runs
 
         # per-call latency (includes host round-trip)
         lat_runs = min(runs, 20)

@@ -73,16 +73,26 @@ class TrainLoader:
             logger.info("closing mosaic augmentation")
         self.mosaic_enabled = False
 
+    def _build_sample(self, rng: random.Random, i: int):
+        use_mosaic = self.mosaic_enabled and rng.random() < self.hyp["mosaic"]
+        if use_mosaic:
+            extra = [rng.randrange(len(self.ds)) for _ in range(3)]
+            records = [self._safe_record(j) for j in [i, *extra]]
+        else:
+            records = [self._safe_record(i)]
+        return augment_sample(records, rng, imgsz=self.imgsz, hyp=self.hyp, use_mosaic=use_mosaic)
+
     def _build_batch(self, rng: random.Random, indices) -> Dict[str, np.ndarray]:
         images, boxes_l, cls_l, mask_l = [], [], [], []
         for i in indices:
-            use_mosaic = self.mosaic_enabled and rng.random() < self.hyp["mosaic"]
-            if use_mosaic:
-                extra = [rng.randrange(len(self.ds)) for _ in range(3)]
-                records = [self._safe_record(j) for j in [i, *extra]]
-            else:
-                records = [self._safe_record(i)]
-            img, boxes, cls = augment_sample(records, rng, imgsz=self.imgsz, hyp=self.hyp, use_mosaic=use_mosaic)
+            img, boxes, cls = self._build_sample(rng, i)
+            if self.hyp.get("mixup", 0.0) > 0 and rng.random() < self.hyp["mixup"]:
+                # mixup: beta(32,32) image blend, label union (YOLO convention)
+                img2, boxes2, cls2 = self._build_sample(rng, rng.randrange(len(self.ds)))
+                lam = np.random.default_rng(rng.randrange(1 << 31)).beta(32.0, 32.0)
+                img = (img.astype(np.float32) * lam + img2.astype(np.float32) * (1 - lam)).astype(np.uint8)
+                boxes = np.concatenate([boxes, boxes2], axis=0)
+                cls = np.concatenate([cls, cls2], axis=0)
             b, c, m = pad_labels(boxes, cls, self.max_boxes)
             images.append(img)
             boxes_l.append(b)

@@ -286,6 +286,76 @@ class ResourceMonitor:
         Path(path).write_text(json.dumps({"history": self.history, "summary": self.summary()}, indent=2))
 
 
+# ---------------------------------------------------------------------------
+# File utilities (reference helpers.py:426-646) + model path validation (:365-389)
+# ---------------------------------------------------------------------------
+
+def get_file_hash(path: Union[str, Path], algorithm: str = "md5", chunk: int = 1 << 20) -> str:
+    import hashlib
+
+    h = hashlib.new(algorithm)
+    with open(path, "rb") as f:
+        while True:
+            data = f.read(chunk)
+            if not data:
+                break
+            h.update(data)
+    return h.hexdigest()
+
+
+def compare_files(a: Union[str, Path], b: Union[str, Path]) -> bool:
+    pa, pb = Path(a), Path(b)
+    if pa.stat().st_size != pb.stat().st_size:
+        return False
+    return get_file_hash(pa) == get_file_hash(pb)
+
+
+def backup_file(path: Union[str, Path], backup_dir: Optional[Union[str, Path]] = None) -> Path:
+    import shutil
+
+    src = Path(path)
+    stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    dst_dir = Path(backup_dir) if backup_dir else src.parent / "backups"
+    dst_dir.mkdir(parents=True, exist_ok=True)
+    dst = dst_dir / f"{src.stem}_{stamp}{src.suffix}"
+    shutil.copy2(src, dst)
+    return dst
+
+
+def clean_old_files(directory: Union[str, Path], pattern: str = "*", keep_last: int = 5) -> List[Path]:
+    files = sorted(Path(directory).glob(pattern), key=lambda p: p.stat().st_mtime)
+    removed = files[: max(len(files) - keep_last, 0)]
+    for f in removed:
+        f.unlink(missing_ok=True)
+    return removed
+
+
+def download_file(url: str, dest: Union[str, Path], timeout: float = 30.0) -> Path:
+    """Download a file (reference helpers.py file-utils surface). In
+    air-gapped/zero-egress deployments this raises with a clear message."""
+    import urllib.error
+    import urllib.request
+
+    dest = Path(dest)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(dest, "wb") as f:
+            f.write(r.read())
+    except (urllib.error.URLError, OSError) as e:
+        raise RuntimeError(f"download failed (offline environment?): {url} -> {e}") from e
+    return dest
+
+
+def validate_model_path(path: Union[str, Path]) -> bool:
+    """True if `path` is a loadable model reference (file or yolo11* name)."""
+    p = Path(path)
+    if p.exists():
+        return p.suffix in (".msgpack", ".ckpt", ".pt", ".safetensors")
+    from yolo_infer_tpu.core.model import parse_model_name
+
+    return parse_model_name(str(path)) is not None
+
+
 def check_dependencies() -> Dict[str, bool]:
     out = {}
     for mod in ("jax", "flax", "optax", "numpy", "cv2", "yaml", "psutil", "PIL"):
