@@ -115,8 +115,9 @@ def detection_loss(
     reg_max: int = 16,
     strides: Sequence[int] = (8, 16, 32),
     hyp: Dict[str, float] = DEFAULT_HYP,
-) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Total detection loss (scalar) + per-component metrics."""
+    return_aux: bool = False,
+):
+    """Total detection loss (scalar) + per-component metrics (+ assigner aux)."""
     b = feats[0].shape[0]
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchor_points, strd = make_anchors(feat_shapes, strides)  # grid units, (A,1)
@@ -133,7 +134,7 @@ def detection_loss(
     pred_boxes_px = pred_boxes_grid * strd[None]
 
     pd_scores = jax.nn.sigmoid(cls_logits)
-    tgt_bboxes_px, tgt_scores, fg_mask, _ = task_aligned_assigner(
+    tgt_bboxes_px, tgt_scores, fg_mask, _tgt_idx = task_aligned_assigner(
         pd_scores,
         pred_boxes_px,
         (anchor_points * strd),
@@ -175,6 +176,136 @@ def detection_loss(
         "loss_dfl": loss_dfl,
         "num_fg": jnp.sum(fg_mask.astype(jnp.int32)),
     }
+    if return_aux:
+        aux = {
+            "fg_mask": fg_mask,
+            "target_gt_idx": _tgt_idx,
+            "weight": weight,
+            "tgt_scores_sum": tgt_scores_sum,
+            "tgt_bboxes_px": tgt_bboxes_px,
+            "anchor_points": anchor_points,
+            "strd": strd,
+        }
+        return total, metrics, aux
+    return total, metrics
+
+
+# COCO-17 keypoint sigmas (OKS constants)
+KPT_SIGMAS = jnp.asarray(
+    [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+     0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089], jnp.float32
+)
+
+
+def segmentation_loss(
+    out: Dict[str, List[jnp.ndarray]],  # {'feats', 'mc', 'proto'}
+    batch: Dict[str, jnp.ndarray],  # + masks (B, Hm, Wm) int32 instance ids
+    *,
+    nc: int,
+    reg_max: int = 16,
+    strides: Sequence[int] = (8, 16, 32),
+    hyp: Dict[str, float] = DEFAULT_HYP,
+    mask_fg_cap: int = 160,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Detection losses + per-instance mask BCE (overlap-mask formulation).
+
+    Fixed-shape: per image, the `mask_fg_cap` highest-weight foreground
+    anchors contribute mask loss (TAL assigns <=10 anchors/gt, so the cap is
+    rarely binding); each gets sigmoid(proto @ coefs) vs (mask == instance id),
+    cropped to the target box and normalized by box area.
+    """
+    det_total, metrics, aux = detection_loss(
+        out["feats"], batch, nc=nc, reg_max=reg_max, strides=strides, hyp=hyp, return_aux=True
+    )
+    proto = out["proto"].astype(jnp.float32)  # (B, Hm, Wm, nm)
+    b_sz, hm, wm, nm = proto.shape
+    mc = jnp.concatenate(
+        [m.reshape(m.shape[0], -1, m.shape[-1]) for m in out["mc"]], axis=1
+    ).astype(jnp.float32)  # (B, A, nm)
+    a = mc.shape[1]
+    f = min(mask_fg_cap, a)
+
+    weight = aux["weight"]  # (B, A)
+    top_w, top_idx = jax.lax.top_k(weight, f)  # (B, F)
+    coefs = jnp.take_along_axis(mc, top_idx[..., None], axis=1)  # (B, F, nm)
+    pred = jnp.einsum("bhwn,bfn->bfhw", proto, coefs)  # (B, F, Hm, Wm) logits
+
+    gid = jnp.take_along_axis(aux["target_gt_idx"], top_idx, axis=1) + 1  # (B, F)
+    gt = (batch["masks"][:, None, :, :] == gid[:, :, None, None]).astype(jnp.float32)
+
+    # crop to target box (letterbox px -> mask grid, stride 4)
+    tb = jnp.take_along_axis(aux["tgt_bboxes_px"], top_idx[..., None], axis=1)  # (B, F, 4)
+    tb_m = tb / 4.0
+    ys = jnp.arange(hm, dtype=jnp.float32)[None, None, :, None]
+    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, None, :]
+    in_box = (
+        (xs >= tb_m[..., 0, None, None])
+        & (xs < tb_m[..., 2, None, None])
+        & (ys >= tb_m[..., 1, None, None])
+        & (ys < tb_m[..., 3, None, None])
+    ).astype(jnp.float32)
+
+    bce = optax_sigmoid_bce(pred, gt) * in_box  # (B, F, Hm, Wm)
+    area = jnp.maximum((tb_m[..., 2] - tb_m[..., 0]) * (tb_m[..., 3] - tb_m[..., 1]), 1.0)
+    per_anchor = jnp.sum(bce, axis=(2, 3)) / area  # (B, F)
+    valid = (top_w > 0).astype(jnp.float32)
+    loss_mask = jnp.sum(per_anchor * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    total = det_total + hyp["box"] * loss_mask * out["feats"][0].shape[0]
+    metrics = dict(metrics)
+    metrics["loss_mask"] = loss_mask
+    metrics["loss"] = total
+    return total, metrics
+
+
+def pose_loss(
+    out: Dict[str, List[jnp.ndarray]],  # {'feats', 'kpts'}
+    batch: Dict[str, jnp.ndarray],  # + kpts (B, M, K, 3) letterboxed px
+    *,
+    nc: int,
+    reg_max: int = 16,
+    strides: Sequence[int] = (8, 16, 32),
+    hyp: Dict[str, float] = DEFAULT_HYP,
+    pose_weight: float = 12.0,
+    kobj_weight: float = 1.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Detection losses + OKS-style keypoint location loss + visibility BCE."""
+    det_total, metrics, aux = detection_loss(
+        out["feats"], batch, nc=nc, reg_max=reg_max, strides=strides, hyp=hyp, return_aux=True
+    )
+    b_sz = out["feats"][0].shape[0]
+    kraw = jnp.concatenate(
+        [k.reshape(k.shape[0], -1, k.shape[-1]) for k in out["kpts"]], axis=1
+    ).astype(jnp.float32)  # (B, A, K*3)
+    a = kraw.shape[1]
+    k = batch["kpts"].shape[2]
+    kraw = kraw.reshape(b_sz, a, k, 3)
+    ap, strd = aux["anchor_points"], aux["strd"]  # grid units, (A,1)
+    pred_xy = (kraw[..., :2] * 2.0 + (ap[None, :, None, :] - 0.5)) * strd[None, :, None, :]
+    pred_conf = kraw[..., 2]
+
+    tgt = jnp.take_along_axis(
+        batch["kpts"].astype(jnp.float32), aux["target_gt_idx"][:, :, None, None], axis=1
+    )  # (B, A, K, 3)
+    vis = (tgt[..., 2] > 0).astype(jnp.float32)  # (B, A, K)
+    fg = aux["fg_mask"].astype(jnp.float32)[:, :, None]
+
+    tb = aux["tgt_bboxes_px"]
+    area = jnp.maximum(
+        (tb[..., 2] - tb[..., 0]) * (tb[..., 3] - tb[..., 1]), 1.0
+    )[:, :, None]  # (B, A, 1)
+    d2 = jnp.sum((pred_xy - tgt[..., :2]) ** 2, axis=-1)  # (B, A, K)
+    sig = KPT_SIGMAS[:k][None, None, :]
+    e = d2 / (8.0 * (sig**2) * area + 1e-9)
+    w = vis * fg
+    loss_kpt = jnp.sum((1.0 - jnp.exp(-e)) * w) / jnp.maximum(jnp.sum(w), 1.0)
+    loss_kobj = jnp.sum(optax_sigmoid_bce(pred_conf, vis) * fg) / jnp.maximum(jnp.sum(fg) * k, 1.0)
+
+    total = det_total + (pose_weight * loss_kpt + kobj_weight * loss_kobj) * b_sz
+    metrics = dict(metrics)
+    metrics["loss_kpt"] = loss_kpt
+    metrics["loss_kobj"] = loss_kobj
+    metrics["loss"] = total
     return total, metrics
 
 

@@ -162,12 +162,19 @@ def make_train_step(
 
     def loss_fn(params, bn_state, batch):
         out, new_bn = _fwd(params, bn_state, batch["images"])
+        kw = dict(nc=spec.nc, reg_max=spec.reg_max, strides=spec.strides, hyp=hyp)
         if spec.task == "classify":
             loss, metrics = classification_loss(out["logits"], batch["labels"])
+        elif spec.task == "segment" and "masks" in batch:
+            from yolo_infer_tpu.core.losses import segmentation_loss
+
+            loss, metrics = segmentation_loss(out, batch, **kw)
+        elif spec.task == "pose" and "kpts" in batch:
+            from yolo_infer_tpu.core.losses import pose_loss
+
+            loss, metrics = pose_loss(out, batch, **kw)
         else:
-            loss, metrics = detection_loss(
-                out["feats"], batch, nc=spec.nc, reg_max=spec.reg_max, strides=spec.strides, hyp=hyp
-            )
+            loss, metrics = detection_loss(out["feats"], batch, **kw)
         return loss, (new_bn, metrics)
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -181,7 +181,8 @@ class YOLO11Trainer:
             train_ds = ClassifyDataset(cfg.data, split="train")
             loader = ClassifyLoader(train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, seed=cfg.seed)
         else:
-            train_ds = YOLODataset(cfg.data, split="train")
+            ds_task = self.model.task if self.model.task in ("segment", "pose") else "detect"
+            train_ds = YOLODataset(cfg.data, split="train", task=ds_task)
             loader = TrainLoader(
                 train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, max_boxes=cfg.max_boxes,
                 hyp=cfg.aug_hyp(), seed=cfg.seed,
@@ -369,7 +370,8 @@ class YOLO11Trainer:
             out = evaluate_classifier(self.model, ds, imgsz=cfg.imgsz, batch=cfg.batch, predictor=predictor)
             return {"top1": out["top1"], "top5": out["top5"]}
         try:
-            val_ds = YOLODataset(cfg.data, split="val")
+            ds_task = self.model.task if self.model.task in ("segment", "pose") else "detect"
+            val_ds = YOLODataset(cfg.data, split="val", task=ds_task)
         except (FileNotFoundError, ValueError):
             return {"mAP50-95": 0.0, "mAP50": 0.0, "mAP75": 0.0, "precision": 0.0, "recall": 0.0}
         v = YOLO11Validator(model=self.model, output_dir=self.run_dir / "val")

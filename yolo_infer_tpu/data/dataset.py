@@ -78,6 +78,99 @@ def load_labels(label_path: Path, nc: Optional[int] = None) -> Tuple[np.ndarray,
     return np.asarray(cls_list, np.int32), np.asarray(box_list, np.float32)
 
 
+def load_labels_segments(label_path: Path, nc: Optional[int] = None):
+    """Segment labels: `cls x1 y1 x2 y2 ...` normalized polygons.
+
+    Returns (classes (M,), polygons: list of (P_i, 2) arrays in [0,1]).
+    """
+    if not label_path.exists():
+        return np.zeros((0,), np.int32), []
+    cls_list, polys = [], []
+    for line in label_path.read_text().splitlines():
+        parts = line.split()
+        if len(parts) < 7 or (len(parts) - 1) % 2 != 0:  # need >=3 points
+            continue
+        c = int(float(parts[0]))
+        if nc is not None and not (0 <= c < nc):
+            continue
+        coords = np.asarray([float(v) for v in parts[1:]], np.float32).reshape(-1, 2)
+        if coords.min() < 0.0 or coords.max() > 1.0:
+            continue
+        cls_list.append(c)
+        polys.append(coords)
+    return np.asarray(cls_list, np.int32), polys
+
+
+def load_labels_keypoints(label_path: Path, kpt_shape=(17, 3), nc: Optional[int] = None):
+    """Pose labels: `cls cx cy w h x1 y1 [v1] ...` normalized.
+
+    Returns (classes (M,), xywhn (M,4), kpts (M, K, 3) with x,y in [0,1]).
+    """
+    k, d = kpt_shape
+    if not label_path.exists():
+        return np.zeros((0,), np.int32), np.zeros((0, 4), np.float32), np.zeros((0, k, 3), np.float32)
+    cls_list, boxes, kpts = [], [], []
+    for line in label_path.read_text().splitlines():
+        parts = line.split()
+        if len(parts) < 5 + k * d:
+            continue
+        c = int(float(parts[0]))
+        if nc is not None and not (0 <= c < nc):
+            continue
+        box = [float(v) for v in parts[1:5]]
+        if not all(0.0 <= v <= 1.0 for v in box):
+            continue
+        raw = np.asarray([float(v) for v in parts[5 : 5 + k * d]], np.float32).reshape(k, d)
+        kp = np.zeros((k, 3), np.float32)
+        kp[:, :2] = raw[:, :2]
+        kp[:, 2] = raw[:, 2] if d == 3 else 1.0  # visibility
+        cls_list.append(c)
+        boxes.append(box)
+        kpts.append(kp)
+    if not cls_list:
+        return np.zeros((0,), np.int32), np.zeros((0, 4), np.float32), np.zeros((0, k, 3), np.float32)
+    return np.asarray(cls_list, np.int32), np.asarray(boxes, np.float32), np.stack(kpts)
+
+
+def polygons_to_boxes(polys, w: int, h: int) -> np.ndarray:
+    """Polygon extents -> xyxy pixel boxes."""
+    if not polys:
+        return np.zeros((0, 4), np.float32)
+    out = np.zeros((len(polys), 4), np.float32)
+    for i, poly in enumerate(polys):
+        xs, ys = poly[:, 0] * w, poly[:, 1] * h
+        out[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
+    return out
+
+
+def rasterize_instance_mask(polys, shape_hw, scale: float = 1.0, pad=(0.0, 0.0), out_hw=None, downsample: int = 4) -> np.ndarray:
+    """Rasterize polygons into one overlap mask with instance ids 1..M.
+
+    Polygons are normalized to the ORIGINAL image (shape_hw); `scale`/`pad`
+    map through the letterbox; the mask is drawn at 1/downsample resolution
+    (the proto grid). Later instances overwrite earlier (ultralytics overlap
+    semantics: sorted by area descending so small objects stay visible).
+    """
+    import cv2
+
+    h, w = shape_hw
+    oh, ow = out_hw if out_hw else (int(h * scale), int(w * scale))
+    mh, mw = oh // downsample, ow // downsample
+    mask = np.zeros((mh, mw), np.int32)
+    areas = []
+    pts_scaled = []
+    for poly in polys:
+        pts = poly.copy()
+        pts[:, 0] = (pts[:, 0] * w * scale + pad[0]) / downsample
+        pts[:, 1] = (pts[:, 1] * h * scale + pad[1]) / downsample
+        pts_i = np.round(pts).astype(np.int32)
+        pts_scaled.append(pts_i)
+        areas.append(cv2.contourArea(pts_i.astype(np.float32)))
+    for idx in np.argsort(-np.asarray(areas)) if areas else []:
+        cv2.fillPoly(mask, [pts_scaled[idx]], int(idx) + 1)
+    return mask
+
+
 def xywhn_to_xyxy(xywhn: np.ndarray, w: int, h: int) -> np.ndarray:
     """Normalized center-format -> absolute xyxy pixels."""
     out = np.empty_like(xywhn)
@@ -91,10 +184,17 @@ def xywhn_to_xyxy(xywhn: np.ndarray, w: int, h: int) -> np.ndarray:
 
 
 class YOLODataset:
-    """Image+label pairs for one split of a YOLO-format dataset."""
+    """Image+label pairs for one split of a YOLO-format dataset.
 
-    def __init__(self, data: Union[str, Path, Dict[str, Any]], split: str = "val"):
+    task='detect'   labels: cls cx cy w h
+    task='segment'  labels: cls x1 y1 x2 y2 ... (polygons; boxes derived)
+    task='pose'     labels: cls cx cy w h x1 y1 v1 ... (keypoint triplets)
+    """
+
+    def __init__(self, data: Union[str, Path, Dict[str, Any]], split: str = "val", task: str = "detect", kpt_shape=(17, 3)):
         self.cfg = parse_dataset_config(data)
+        self.task = task
+        self.kpt_shape = tuple(self.cfg.get("kpt_shape", kpt_shape))
         self.names = self.cfg["names"]
         self.nc = self.cfg["nc"]
         img_dir = _resolve_split_dir(self.cfg, split)
@@ -113,14 +213,26 @@ class YOLODataset:
         path = self.images[i]
         img = load_image(path)
         h, w = img.shape[:2]
-        cls, xywhn = load_labels(label_path_for(path), self.nc)
-        return {
-            "image": img,
-            "path": path,
-            "orig_shape": (h, w),
-            "classes": cls,
-            "boxes": xywhn_to_xyxy(xywhn, w, h) if len(cls) else np.zeros((0, 4), np.float32),
-        }
+        lp = label_path_for(path)
+        rec: Dict[str, Any] = {"image": img, "path": path, "orig_shape": (h, w)}
+        if self.task == "segment":
+            cls, polys = load_labels_segments(lp, self.nc)
+            rec["classes"] = cls
+            rec["boxes"] = polygons_to_boxes(polys, w, h)
+            rec["polygons"] = polys
+        elif self.task == "pose":
+            cls, xywhn, kpts = load_labels_keypoints(lp, self.kpt_shape, self.nc)
+            rec["classes"] = cls
+            rec["boxes"] = xywhn_to_xyxy(xywhn, w, h) if len(cls) else np.zeros((0, 4), np.float32)
+            kp = kpts.copy()
+            kp[..., 0] *= w
+            kp[..., 1] *= h
+            rec["keypoints"] = kp  # pixels
+        else:
+            cls, xywhn = load_labels(lp, self.nc)
+            rec["classes"] = cls
+            rec["boxes"] = xywhn_to_xyxy(xywhn, w, h) if len(cls) else np.zeros((0, 4), np.float32)
+        return rec
 
     def iter_val_batches(
         self, batch_size: int = 16, imgsz: int = 640

@@ -39,8 +39,18 @@ def pad_labels(boxes: np.ndarray, classes: np.ndarray, max_boxes: int):
     return out_boxes, out_cls, mask
 
 
+# COCO-17 left/right keypoint swap for horizontal flips
+COCO_FLIP_IDX = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
+
+
 class TrainLoader:
-    """Iterates augmented fixed-shape batches with background prefetch."""
+    """Iterates augmented fixed-shape batches with background prefetch.
+
+    task='detect' gets the full mosaic/affine/mixup pipeline; segment/pose use
+    letterbox+HSV+flip (geometric label transforms stay exact) and add the
+    task targets: 'masks' (B, S/4, S/4) int32 instance-id overlap masks for
+    segment, 'kpts' (B, M, K, 3) letterboxed-pixel keypoints for pose.
+    """
 
     def __init__(
         self,
@@ -52,6 +62,7 @@ class TrainLoader:
         seed: int = 0,
         prefetch: int = 2,
         workers: int = 1,
+        task: str = "detect",
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -61,7 +72,8 @@ class TrainLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
-        self.mosaic_enabled = self.hyp["mosaic"] > 0
+        self.task = task if task != "detect" else getattr(dataset, "task", "detect")
+        self.mosaic_enabled = self.hyp["mosaic"] > 0 and self.task == "detect"
 
     def __len__(self) -> int:
         return (len(self.ds) + self.batch_size - 1) // self.batch_size
@@ -82,7 +94,48 @@ class TrainLoader:
             records = [self._safe_record(i)]
         return augment_sample(records, rng, imgsz=self.imgsz, hyp=self.hyp, use_mosaic=use_mosaic)
 
+    def _build_task_sample(self, rng: random.Random, i: int):
+        """segment/pose sample: letterbox + HSV + flip with exact label maps."""
+        from yolo_infer_tpu.data.augment import hsv_augment
+        from yolo_infer_tpu.data.dataset import rasterize_instance_mask
+        from yolo_infer_tpu.ops.letterbox import letterbox
+
+        r = self._safe_record(i)
+        img, ratio, pad = letterbox(r["image"], self.imgsz)
+        boxes = r["boxes"].copy() if len(r["boxes"]) else np.zeros((0, 4), np.float32)
+        if len(boxes):
+            boxes = boxes * ratio
+            boxes[:, [0, 2]] += pad[0]
+            boxes[:, [1, 3]] += pad[1]
+        extras: Dict[str, np.ndarray] = {}
+        if self.task == "segment":
+            extras["mask"] = rasterize_instance_mask(
+                r.get("polygons", []), r["orig_shape"], scale=ratio, pad=pad,
+                out_hw=(self.imgsz, self.imgsz), downsample=4,
+            )
+        elif self.task == "pose":
+            kp = r.get("keypoints", np.zeros((0, 17, 3), np.float32)).copy()
+            if len(kp):
+                kp[..., 0] = kp[..., 0] * ratio + pad[0]
+                kp[..., 1] = kp[..., 1] * ratio + pad[1]
+            extras["kpts"] = kp
+        img = hsv_augment(img, rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"])
+        if rng.random() < self.hyp["fliplr"]:
+            img = np.ascontiguousarray(img[:, ::-1])
+            if len(boxes):
+                boxes[:, [0, 2]] = self.imgsz - boxes[:, [2, 0]]
+            if "mask" in extras:
+                extras["mask"] = np.ascontiguousarray(extras["mask"][:, ::-1])
+            if "kpts" in extras and len(extras["kpts"]):
+                kp = extras["kpts"]
+                kp[..., 0] = self.imgsz - kp[..., 0]
+                if kp.shape[1] == len(COCO_FLIP_IDX):
+                    extras["kpts"] = kp[:, COCO_FLIP_IDX]
+        return img, boxes.astype(np.float32), r["classes"].astype(np.int32), extras
+
     def _build_batch(self, rng: random.Random, indices) -> Dict[str, np.ndarray]:
+        if self.task in ("segment", "pose"):
+            return self._build_task_batch(rng, indices)
         images, boxes_l, cls_l, mask_l = [], [], [], []
         for i in indices:
             img, boxes, cls = self._build_sample(rng, i)
@@ -104,6 +157,38 @@ class TrainLoader:
             "classes": np.stack(cls_l),
             "mask": np.stack(mask_l),
         }
+
+    def _build_task_batch(self, rng: random.Random, indices) -> Dict[str, np.ndarray]:
+        images, boxes_l, cls_l, valid_l, seg_masks, kpts_l = [], [], [], [], [], []
+        k = getattr(self.ds, "kpt_shape", (17, 3))[0]
+        for i in indices:
+            img, boxes, cls, extras = self._build_task_sample(rng, i)
+            b, c, m = pad_labels(boxes, cls, self.max_boxes)
+            images.append(img)
+            boxes_l.append(b)
+            cls_l.append(c)
+            valid_l.append(m)
+            if self.task == "segment":
+                mask = extras["mask"]
+                mask = np.where(mask > self.max_boxes, 0, mask)  # truncated instances
+                seg_masks.append(mask)
+            elif self.task == "pose":
+                kp = np.zeros((self.max_boxes, k, 3), np.float32)
+                n = min(len(extras["kpts"]), self.max_boxes)
+                if n:
+                    kp[:n] = extras["kpts"][:n]
+                kpts_l.append(kp)
+        out = {
+            "images": np.stack(images).astype(np.float32) / 255.0,
+            "boxes": np.stack(boxes_l),
+            "classes": np.stack(cls_l),
+            "mask": np.stack(valid_l),
+        }
+        if seg_masks:
+            out["masks"] = np.stack(seg_masks).astype(np.int32)
+        if kpts_l:
+            out["kpts"] = np.stack(kpts_l)
+        return out
 
     def _safe_record(self, i: int) -> Dict[str, np.ndarray]:
         """Batch sanitation: a corrupt image/label never reaches the device —
