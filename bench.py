@@ -33,6 +33,16 @@ def main() -> None:
     result = model.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=10, profile_dir=profile_dir)
     fps = result["throughput_imgs_per_s"]
 
+    # secondary reading at the throughput-optimal batch (b128 ~2x b32 on v5e)
+    big_batch = int(os.environ.get("BENCH_BIG_BATCH", "128"))
+    big_fps = None
+    if big_batch > batch:
+        try:
+            big = model.benchmark(imgsz=imgsz, batch=big_batch, runs=max(runs // 4, 10), warmup=3)
+            big_fps = round(big["throughput_imgs_per_s"], 2)
+        except Exception:
+            pass
+
     # vs_baseline: ratio to the most recent recorded round, else 1.0
     prev = None
     for path in sorted(glob.glob("BENCH_r*.json"), key=lambda p: int(re.search(r"r(\d+)", p).group(1))):
@@ -51,6 +61,7 @@ def main() -> None:
         "backend": jax.default_backend(),
         "batch": batch,
         "imgsz": imgsz,
+        "fps_at_batch_%d" % big_batch: big_fps,
     }
     print(json.dumps({
         "metric": f"yolo11{size}_{imgsz}_b{batch}_e2e_fps_per_chip",
