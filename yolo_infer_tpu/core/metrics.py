@@ -29,6 +29,25 @@ def box_iou_np(a: np.ndarray, b: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     return inter / (area_a + area_b - inter + eps)
 
 
+def match_from_iou(iou: np.ndarray, iou_thresholds: np.ndarray = IOU_THRESHOLDS) -> np.ndarray:
+    """Greedy TP matrix (N, T) from a (class-gated) pred-x-gt IoU matrix,
+    predictions assumed sorted by confidence descending."""
+    n, m = iou.shape
+    t = len(iou_thresholds)
+    tp = np.zeros((n, t), dtype=bool)
+    if n == 0 or m == 0:
+        return tp
+    for ti, thr in enumerate(iou_thresholds):
+        taken = np.zeros(m, dtype=bool)
+        for i in range(n):
+            cand = np.where((iou[i] >= thr) & ~taken)[0]
+            if len(cand):
+                j = cand[np.argmax(iou[i, cand])]
+                taken[j] = True
+                tp[i, ti] = True
+    return tp
+
+
 def match_predictions(
     pred_boxes: np.ndarray,  # (N, 4) xyxy, sorted by confidence desc
     pred_cls: np.ndarray,  # (N,)
@@ -41,21 +60,51 @@ def match_predictions(
     Greedy: predictions in confidence order claim the best unmatched
     same-class GT with IoU >= threshold.
     """
-    n, t = len(pred_boxes), len(iou_thresholds)
-    tp = np.zeros((n, t), dtype=bool)
-    if n == 0 or len(gt_boxes) == 0:
-        return tp
+    if len(pred_boxes) == 0 or len(gt_boxes) == 0:
+        return np.zeros((len(pred_boxes), len(iou_thresholds)), dtype=bool)
     iou = box_iou_np(pred_boxes, gt_boxes)
     iou = iou * (pred_cls[:, None] == gt_cls[None, :])
-    for ti, thr in enumerate(iou_thresholds):
-        taken = np.zeros(len(gt_boxes), dtype=bool)
-        for i in range(n):
-            cand = np.where((iou[i] >= thr) & ~taken)[0]
-            if len(cand):
-                j = cand[np.argmax(iou[i, cand])]
-                taken[j] = True
-                tp[i, ti] = True
-    return tp
+    return match_from_iou(iou, iou_thresholds)
+
+
+def mask_iou_matrix(pred_masks: np.ndarray, gt_masks: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Binary mask IoU: (N, H, W) x (M, H, W) -> (N, M)."""
+    if len(pred_masks) == 0 or len(gt_masks) == 0:
+        return np.zeros((len(pred_masks), len(gt_masks)), np.float32)
+    p = pred_masks.reshape(len(pred_masks), -1).astype(np.float32)
+    g = gt_masks.reshape(len(gt_masks), -1).astype(np.float32)
+    inter = p @ g.T
+    union = p.sum(1)[:, None] + g.sum(1)[None, :] - inter
+    return inter / (union + eps)
+
+
+# COCO-17 OKS sigmas
+OKS_SIGMAS = np.array(
+    [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+     0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089], np.float32
+)
+
+
+def oks_matrix(
+    pred_kpts: np.ndarray,  # (N, K, >=2)
+    gt_kpts: np.ndarray,  # (M, K, 3) with visibility
+    gt_areas: np.ndarray,  # (M,)
+    sigmas: Optional[np.ndarray] = None,
+    eps: float = 1e-7,
+) -> np.ndarray:
+    """Object Keypoint Similarity matrix (COCO convention)."""
+    n, m = len(pred_kpts), len(gt_kpts)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.float32)
+    k = gt_kpts.shape[1]
+    if sigmas is None:
+        sigmas = OKS_SIGMAS[:k] if k <= len(OKS_SIGMAS) else np.full(k, 0.05, np.float32)
+    d2 = ((pred_kpts[:, None, :, :2] - gt_kpts[None, :, :, :2]) ** 2).sum(-1)  # (N, M, K)
+    vis = (gt_kpts[None, :, :, 2] > 0).astype(np.float32)  # (1->N, M, K)
+    s2 = (2 * sigmas[None, None, :]) ** 2
+    e = d2 / (s2 * (gt_areas[None, :, None] + eps) * 2)
+    oks = (np.exp(-e) * vis).sum(-1) / np.maximum(vis.sum(-1), eps)
+    return oks.astype(np.float32)
 
 
 def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
@@ -150,6 +199,25 @@ class DetMetrics:
         order = np.argsort(-pred_scores, kind="stable")
         pred_boxes, pred_scores, pred_cls = pred_boxes[order], pred_scores[order], pred_cls[order]
         tp = match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, self.iou_thresholds)
+        self._tp.append(tp)
+        self._conf.append(pred_scores)
+        self._pred_cls.append(pred_cls)
+        self._gt_cls.append(gt_cls)
+
+    def update_from_iou(
+        self,
+        iou: np.ndarray,  # (N, M) pred-x-gt similarity (mask IoU, OKS, ...)
+        pred_scores: np.ndarray,
+        pred_cls: np.ndarray,
+        gt_cls: np.ndarray,
+    ) -> None:
+        """Accumulate with a caller-provided similarity matrix (predictions in
+        any order; sorted here). Enables mask-mAP and OKS pose-mAP."""
+        order = np.argsort(-pred_scores, kind="stable")
+        iou = iou[order] if len(iou) else iou
+        pred_scores, pred_cls = pred_scores[order], pred_cls[order]
+        gated = iou * (pred_cls[:, None] == gt_cls[None, :]) if len(iou) and len(gt_cls) else iou
+        tp = match_from_iou(gated, self.iou_thresholds) if gated.size else np.zeros((len(pred_scores), len(self.iou_thresholds)), bool)
         self._tp.append(tp)
         self._conf.append(pred_scores)
         self._pred_cls.append(pred_cls)

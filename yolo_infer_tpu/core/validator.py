@@ -65,8 +65,12 @@ class YOLO11Validator:
 
         from yolo_infer_tpu.core.metrics import ConfusionMatrix
 
-        ds = YOLODataset(data, split=split)
+        task = getattr(self.model, "task", "detect")
+        ds_task = task if task in ("segment", "pose") else "detect"
+        kpt_shape = getattr(self.model.spec, "kpt_shape", (17, 3))
+        ds = YOLODataset(data, split=split, task=ds_task, kpt_shape=kpt_shape)
         metrics = DetMetrics(nc=ds.nc)
+        task_metrics = DetMetrics(nc=ds.nc) if ds_task in ("segment", "pose") else None
         cm = ConfusionMatrix(nc=ds.nc) if confusion_matrix else None
         predictor = self.model.predictor
 
@@ -92,6 +96,8 @@ class YOLO11Validator:
                         boxes, dets_np["scores"][i, :k], dets_np["classes"][i, :k],
                         m["boxes"], m["classes"],
                     )
+                if task_metrics is not None:
+                    self._update_task_metrics(task_metrics, ds_task, dets_np, i, k, m, imgsz)
 
         for batch_data in ds.iter_val_batches(batch_size=batch, imgsz=imgsz):
             t0 = time.perf_counter()
@@ -109,6 +115,7 @@ class YOLO11Validator:
             drain(*pending)
 
         results = metrics.compute()
+        task_results = task_metrics.compute() if task_metrics is not None else None
         total_time = time.perf_counter() - t_start
         out = {
             "metrics": {
@@ -127,6 +134,13 @@ class YOLO11Validator:
             },
             "config": {"imgsz": imgsz, "batch": batch, "conf": conf, "iou": iou, "split": split},
         }
+        if task_results is not None:
+            key = "mask_metrics" if ds_task == "segment" else "pose_metrics"
+            out[key] = {
+                "mAP50-95": task_results["map"],
+                "mAP50": task_results["map50"],
+                "mAP75": task_results["map75"],
+            }
         if verbose:
             logger.info("validated %d images: mAP50-95=%.4f mAP50=%.4f", n_images, results["map"], results["map50"])
         self._save_validation_summary(out)
@@ -138,6 +152,36 @@ class YOLO11Validator:
         if save_json:
             (self.output_dir / "validation_results.json").write_text(json.dumps(out, indent=2, default=float))
         return out
+
+    def _update_task_metrics(self, task_metrics, ds_task, dets_np, i, k, m, imgsz):
+        """Mask-IoU (segment) or OKS (pose) matching for image i of a batch."""
+        from yolo_infer_tpu.core.metrics import mask_iou_matrix, oks_matrix
+        from yolo_infer_tpu.core.predictor import _assemble_masks
+        from yolo_infer_tpu.data.dataset import polygons_to_instance_masks
+
+        scores = dets_np["scores"][i, :k]
+        cls = dets_np["classes"][i, :k].astype(np.int32)
+        if ds_task == "segment":
+            polys = m.get("polygons", [])
+            gt_masks = polygons_to_instance_masks(polys, m["orig_shape"], m["ratio"], m["pad"], imgsz)
+            if k > 0:
+                pred_masks = _assemble_masks(
+                    dets_np["proto"][i], dets_np["mask_coefs"][i, :k], dets_np["boxes"][i, :k], imgsz
+                ) > 0.5
+            else:
+                pred_masks = np.zeros((0,) + gt_masks.shape[1:], bool)
+            iou = mask_iou_matrix(pred_masks, gt_masks)
+            task_metrics.update_from_iou(iou, scores, cls, m["classes"])
+        else:  # pose: OKS in letterboxed pixel space
+            gt_kpts = m.get("keypoints", np.zeros((0, 17, 3), np.float32)).copy()
+            if len(gt_kpts):
+                gt_kpts[..., 0] = gt_kpts[..., 0] * m["ratio"] + m["pad"][0]
+                gt_kpts[..., 1] = gt_kpts[..., 1] * m["ratio"] + m["pad"][1]
+            gt_boxes_lb = m["boxes"] * m["ratio"]
+            areas = ((gt_boxes_lb[:, 2] - gt_boxes_lb[:, 0]) * (gt_boxes_lb[:, 3] - gt_boxes_lb[:, 1])) if len(gt_boxes_lb) else np.zeros((0,))
+            pred_kpts = dets_np["kpts"][i, :k] if "kpts" in dets_np else np.zeros((0, gt_kpts.shape[1] if len(gt_kpts) else 17, 3))
+            iou = oks_matrix(pred_kpts, gt_kpts, areas)
+            task_metrics.update_from_iou(iou, scores, cls, m["classes"])
 
     # ------------------------------------------------------- speed benchmark
 

@@ -246,11 +246,32 @@ class YOLODataset:
         for start in range(0, len(self), batch_size):
             records = [self[i] for i in range(start, min(start + batch_size, len(self)))]
             imgs, metas = [], []
+            extra_keys = [k for k in ("polygons", "keypoints") if k in records[0]]
             for r in records:
                 lb, ratio, pad = letterbox(r["image"], imgsz)
                 imgs.append(lb)
-                metas.append({"ratio": ratio, "pad": pad, **{k: r[k] for k in ("path", "orig_shape", "classes", "boxes")}})
+                meta = {"ratio": ratio, "pad": pad, **{k: r[k] for k in ("path", "orig_shape", "classes", "boxes")}}
+                for k in extra_keys:
+                    meta[k] = r[k]
+                metas.append(meta)
             n = len(imgs)
             if n < batch_size:  # pad batch to static shape
                 imgs.extend([np.zeros_like(imgs[0])] * (batch_size - n))
             yield {"images": np.stack(imgs), "metas": metas, "n": n}
+
+
+def polygons_to_instance_masks(polys, orig_shape_hw, ratio: float, pad, imgsz: int, downsample: int = 4) -> np.ndarray:
+    """Per-instance binary masks at the letterboxed proto grid: (M, S/d, S/d)."""
+    import cv2
+
+    h, w = orig_shape_hw
+    m = imgsz // downsample
+    out = np.zeros((len(polys), m, m), bool)
+    for i, poly in enumerate(polys):
+        pts = poly.copy()
+        pts[:, 0] = (pts[:, 0] * w * ratio + pad[0]) / downsample
+        pts[:, 1] = (pts[:, 1] * h * ratio + pad[1]) / downsample
+        canvas = np.zeros((m, m), np.uint8)
+        cv2.fillPoly(canvas, [np.round(pts).astype(np.int32)], 1)
+        out[i] = canvas.astype(bool)
+    return out
