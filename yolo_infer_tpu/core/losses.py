@@ -190,6 +190,117 @@ def detection_loss(
     return total, metrics
 
 
+def obb_loss(
+    out: Dict[str, List[jnp.ndarray]],  # {'feats', 'angle'}
+    batch: Dict[str, jnp.ndarray],  # boxes (B,M,5) cx,cy,w,h,rad px | classes | mask
+    *,
+    nc: int,
+    reg_max: int = 16,
+    strides: Sequence[int] = (8, 16, 32),
+    hyp: Dict[str, float] = DEFAULT_HYP,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Oriented-box loss: TAL assignment under probIoU, probIoU box loss,
+    DFL on rotated-frame distances, BCE cls. The rotated analog of
+    detection_loss (no axis-aligned shortcut anywhere)."""
+    from yolo_infer_tpu.ops.rotated import dist2rbox, probiou_pairs
+
+    feats = out["feats"]
+    b = feats[0].shape[0]
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, strd = make_anchors(feat_shapes, strides)
+    flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1).astype(jnp.float32)
+    pred_dist_logits = flat[..., : 4 * reg_max]
+    cls_logits = flat[..., 4 * reg_max :]
+    a = flat.shape[1]
+
+    ang = jnp.concatenate(
+        [x.reshape(b, -1, x.shape[-1]) for x in out["angle"]], axis=1
+    ).astype(jnp.float32)
+    angle = (jax.nn.sigmoid(ang[..., 0]) - 0.25) * jnp.pi  # (B, A)
+
+    dist = pred_dist_logits.reshape(b, a, 4, reg_max)
+    probs = jax.nn.softmax(dist, axis=-1)
+    ltrb = jnp.einsum("bafr,r->baf", probs, jnp.arange(reg_max, dtype=jnp.float32))
+    rb_grid = dist2rbox(ltrb, angle, anchor_points[None])  # (B, A, 4) grid units
+    pred_rbox_px = jnp.concatenate([rb_grid * strd[None], angle[..., None]], axis=-1)  # (B,A,5)
+
+    gt = batch["boxes"].astype(jnp.float32)  # (B, M, 5)
+    gt_cls = batch["classes"].astype(jnp.int32)
+    mask_gt = batch["mask"].astype(bool)
+    m = gt.shape[1]
+    pd_scores = jax.nn.sigmoid(cls_logits)
+
+    # anchors inside rotated gt: rotate anchor into the gt frame
+    anc_px = (anchor_points * strd)  # (A, 2)
+    dxy = anc_px[None, None, :, :] - gt[:, :, None, :2]  # (B, M, A, 2)
+    cos = jnp.cos(gt[:, :, None, 4])
+    sin = jnp.sin(gt[:, :, None, 4])
+    lx = dxy[..., 0] * cos + dxy[..., 1] * sin
+    ly = -dxy[..., 0] * sin + dxy[..., 1] * cos
+    mask_in = (jnp.abs(lx) < gt[:, :, None, 2] / 2) & (jnp.abs(ly) < gt[:, :, None, 3] / 2)
+
+    overlaps = probiou_pairs(
+        jnp.broadcast_to(gt[:, :, None, :], (b, m, a, 5)),
+        jnp.broadcast_to(pred_rbox_px[:, None, :, :], (b, m, a, 5)),
+    ).clip(0)
+    cls_scores = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), gt_cls.clip(0)[:, :, None], axis=1)
+    align = (cls_scores ** hyp.get("tal_alpha", 0.5)) * (overlaps ** hyp.get("tal_beta", 6.0))
+
+    gate = mask_in & mask_gt[:, :, None]
+    cand = jnp.where(gate, align, -1.0)
+    kth = jax.lax.top_k(cand, min(int(hyp.get("tal_topk", 10)), a))[0][..., -1:]
+    mask_topk = (cand >= jnp.maximum(kth, 0.0)) & (cand > 0)
+    mask_pos = mask_topk & gate
+    multi = jnp.sum(mask_pos, axis=1, keepdims=True) > 1
+    max_ov_gt = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), axis=1)
+    is_max = jax.nn.one_hot(max_ov_gt, m, dtype=bool).transpose(0, 2, 1)
+    mask_pos = jnp.where(multi, mask_pos & is_max, mask_pos)
+    fg = jnp.any(mask_pos, axis=1)
+    tgt_idx = jnp.argmax(mask_pos, axis=1)
+
+    tgt_labels = jnp.take_along_axis(gt_cls, tgt_idx, axis=1)
+    tgt_rbox = jnp.take_along_axis(gt, tgt_idx[:, :, None], axis=1)  # (B, A, 5) px
+    tgt_scores = jax.nn.one_hot(tgt_labels, nc, dtype=jnp.float32) * fg[:, :, None]
+    align_pos = jnp.where(mask_pos, align, 0.0)
+    ovl_pos = jnp.where(mask_pos, overlaps, 0.0)
+    norm = jnp.max(
+        align_pos * jnp.max(ovl_pos, axis=-1, keepdims=True) / (jnp.max(align_pos, axis=-1, keepdims=True) + EPS),
+        axis=1,
+    )
+    tgt_scores = tgt_scores * norm[:, :, None]
+    tss = jnp.maximum(jnp.sum(tgt_scores), 1.0)
+
+    loss_cls = jnp.sum(optax_sigmoid_bce(cls_logits, tgt_scores)) / tss
+    weight = jnp.sum(tgt_scores, axis=-1) * fg
+
+    iou_pair = probiou_pairs(pred_rbox_px, tgt_rbox)
+    loss_box = jnp.sum((1.0 - iou_pair) * weight) / tss
+
+    # DFL target: anchor-to-edge distances in the GT's rotated frame
+    tgt_grid = tgt_rbox.at[..., :4].divide(strd[None])  # cx,cy,w,h in grid units
+    dxy_a = anchor_points[None] - tgt_grid[..., :2]
+    cos_a = jnp.cos(tgt_rbox[..., 4])
+    sin_a = jnp.sin(tgt_rbox[..., 4])
+    lxa = dxy_a[..., 0] * cos_a + dxy_a[..., 1] * sin_a
+    lya = -dxy_a[..., 0] * sin_a + dxy_a[..., 1] * cos_a
+    half_w = tgt_grid[..., 2] / 2
+    half_h = tgt_grid[..., 3] / 2
+    tgt_ltrb = jnp.stack(
+        [half_w + lxa, half_h + lya, half_w - lxa, half_h - lya], axis=-1
+    ).clip(0, reg_max - 1 - 0.01)
+    dfl = _dfl_loss(dist, tgt_ltrb, reg_max)
+    loss_dfl = jnp.sum(dfl * weight) / tss
+
+    total = (hyp["box"] * loss_box + hyp["cls"] * loss_cls + hyp["dfl"] * loss_dfl) * b
+    return total, {
+        "loss": total,
+        "loss_box": loss_box,
+        "loss_cls": loss_cls,
+        "loss_dfl": loss_dfl,
+        "num_fg": jnp.sum(fg.astype(jnp.int32)),
+    }
+
+
 # COCO-17 keypoint sigmas (OKS constants)
 KPT_SIGMAS = jnp.asarray(
     [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,

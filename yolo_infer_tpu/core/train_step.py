@@ -173,6 +173,10 @@ def make_train_step(
             from yolo_infer_tpu.core.losses import pose_loss
 
             loss, metrics = pose_loss(out, batch, **kw)
+        elif spec.task == "obb" and batch["boxes"].shape[-1] == 5:
+            from yolo_infer_tpu.core.losses import obb_loss
+
+            loss, metrics = obb_loss(out, batch, **kw)
         else:
             loss, metrics = detection_loss(out["feats"], batch, **kw)
         return loss, (new_bn, metrics)

@@ -181,7 +181,7 @@ class YOLO11Trainer:
             train_ds = ClassifyDataset(cfg.data, split="train")
             loader = ClassifyLoader(train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, seed=cfg.seed)
         else:
-            ds_task = self.model.task if self.model.task in ("segment", "pose") else "detect"
+            ds_task = self.model.task if self.model.task in ("segment", "pose", "obb") else "detect"
             train_ds = YOLODataset(cfg.data, split="train", task=ds_task)
             loader = TrainLoader(
                 train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, max_boxes=cfg.max_boxes,
@@ -370,7 +370,7 @@ class YOLO11Trainer:
             out = evaluate_classifier(self.model, ds, imgsz=cfg.imgsz, batch=cfg.batch, predictor=predictor)
             return {"top1": out["top1"], "top5": out["top5"]}
         try:
-            ds_task = self.model.task if self.model.task in ("segment", "pose") else "detect"
+            ds_task = self.model.task if self.model.task in ("segment", "pose", "obb") else "detect"
             val_ds = YOLODataset(cfg.data, split="val", task=ds_task)
         except (FileNotFoundError, ValueError):
             return {"mAP50-95": 0.0, "mAP50": 0.0, "mAP75": 0.0, "precision": 0.0, "recall": 0.0}

@@ -27,6 +27,20 @@ from yolo_infer_tpu.utils.helpers import setup_logging
 logger = logging.getLogger(__name__)
 
 
+def _boxes_to_original(raw: np.ndarray, ratio: float, pad, orig_shape) -> np.ndarray:
+    """Map predicted boxes to original-image xyxy; rotated (5-col) boxes are
+    unpadded/unscaled and reduced to axis-aligned envelopes for box metrics."""
+    if raw.shape[-1] == 5:
+        from yolo_infer_tpu.core.predictor import _obb_to_xyxy
+
+        obb = raw.copy()
+        obb[:, 0] = (obb[:, 0] - pad[0]) / ratio
+        obb[:, 1] = (obb[:, 1] - pad[1]) / ratio
+        obb[:, 2:4] /= ratio
+        return _obb_to_xyxy(obb, orig_shape)
+    return scale_boxes(raw, ratio, pad, orig_shape)
+
+
 class YOLO11Validator:
     """Validate a YOLO11Model on a YOLO-format dataset."""
 
@@ -66,7 +80,7 @@ class YOLO11Validator:
         from yolo_infer_tpu.core.metrics import ConfusionMatrix
 
         task = getattr(self.model, "task", "detect")
-        ds_task = task if task in ("segment", "pose") else "detect"
+        ds_task = task if task in ("segment", "pose", "obb") else "detect"
         kpt_shape = getattr(self.model.spec, "kpt_shape", (17, 3))
         ds = YOLODataset(data, split=split, task=ds_task, kpt_shape=kpt_shape)
         metrics = DetMetrics(nc=ds.nc)
@@ -83,7 +97,7 @@ class YOLO11Validator:
             for i in range(n):
                 m = metas[i]
                 k = int(dets_np["num"][i])
-                boxes = scale_boxes(dets_np["boxes"][i, :k], m["ratio"], m["pad"], m["orig_shape"])
+                boxes = _boxes_to_original(dets_np["boxes"][i, :k], m["ratio"], m["pad"], m["orig_shape"])
                 metrics.update(
                     boxes,
                     dets_np["scores"][i, :k],
@@ -271,7 +285,7 @@ class YOLO11Validator:
             for i in range(batch_data["n"]):
                 m = batch_data["metas"][i]
                 kk = int(dets_np["num"][i])
-                boxes = scale_boxes(dets_np["boxes"][i, :kk], m["ratio"], m["pad"], m["orig_shape"])
+                boxes = _boxes_to_original(dets_np["boxes"][i, :kk], m["ratio"], m["pad"], m["orig_shape"])
                 metrics.update(boxes, dets_np["scores"][i, :kk], dets_np["classes"][i, :kk].astype(np.int32), m["boxes"], m["classes"])
             n_images += batch_data["n"]
         r = metrics.compute()

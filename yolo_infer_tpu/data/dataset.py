@@ -132,6 +132,51 @@ def load_labels_keypoints(label_path: Path, kpt_shape=(17, 3), nc: Optional[int]
     return np.asarray(cls_list, np.int32), np.asarray(boxes, np.float32), np.stack(kpts)
 
 
+def load_labels_obb(label_path: Path, nc: Optional[int] = None):
+    """OBB labels (DOTA-in-YOLO): `cls x1 y1 x2 y2 x3 y3 x4 y4` normalized corners.
+
+    Returns (classes (M,), corners (M, 4, 2) in [0,1]).
+    """
+    if not label_path.exists():
+        return np.zeros((0,), np.int32), np.zeros((0, 4, 2), np.float32)
+    cls_list, corners = [], []
+    for line in label_path.read_text().splitlines():
+        parts = line.split()
+        if len(parts) != 9:
+            continue
+        c = int(float(parts[0]))
+        if nc is not None and not (0 <= c < nc):
+            continue
+        pts = np.asarray([float(v) for v in parts[1:]], np.float32).reshape(4, 2)
+        if pts.min() < 0.0 or pts.max() > 1.0:
+            continue
+        cls_list.append(c)
+        corners.append(pts)
+    if not cls_list:
+        return np.zeros((0,), np.int32), np.zeros((0, 4, 2), np.float32)
+    return np.asarray(cls_list, np.int32), np.stack(corners)
+
+
+def corners_to_rbox(corners_px: np.ndarray) -> np.ndarray:
+    """(M, 4, 2) pixel corners -> (M, 5) cx, cy, w, h, angle[rad in [-pi/4, 3pi/4))."""
+    import cv2
+
+    out = np.zeros((len(corners_px), 5), np.float32)
+    for i, pts in enumerate(corners_px):
+        (cx, cy), (w, h), deg = cv2.minAreaRect(pts.astype(np.float32))
+        rad = np.deg2rad(deg)
+        # canonicalize to the head's angle range
+        if w < h:
+            w, h = h, w
+            rad += np.pi / 2
+        while rad >= 3 * np.pi / 4:
+            rad -= np.pi
+        while rad < -np.pi / 4:
+            rad += np.pi
+        out[i] = [cx, cy, w, h, rad]
+    return out
+
+
 def polygons_to_boxes(polys, w: int, h: int) -> np.ndarray:
     """Polygon extents -> xyxy pixel boxes."""
     if not polys:
@@ -220,6 +265,21 @@ class YOLODataset:
             rec["classes"] = cls
             rec["boxes"] = polygons_to_boxes(polys, w, h)
             rec["polygons"] = polys
+        elif self.task == "obb":
+            cls, corners = load_labels_obb(lp, self.nc)
+            rec["classes"] = cls
+            corners_px = corners.copy()
+            corners_px[..., 0] *= w
+            corners_px[..., 1] *= h
+            rec["corners"] = corners_px
+            rec["rboxes"] = corners_to_rbox(corners_px) if len(cls) else np.zeros((0, 5), np.float32)
+            # axis-aligned envelopes for generic code paths
+            if len(cls):
+                rec["boxes"] = np.stack(
+                    [corners_px[..., 0].min(1), corners_px[..., 1].min(1), corners_px[..., 0].max(1), corners_px[..., 1].max(1)], axis=1
+                )
+            else:
+                rec["boxes"] = np.zeros((0, 4), np.float32)
         elif self.task == "pose":
             cls, xywhn, kpts = load_labels_keypoints(lp, self.kpt_shape, self.nc)
             rec["classes"] = cls

@@ -73,6 +73,7 @@ class TrainLoader:
         self.prefetch = prefetch
         self.epoch = 0
         self.task = task if task != "detect" else getattr(dataset, "task", "detect")
+        # mosaic/affine pipeline is detect-only; task labels get exact transforms
         self.mosaic_enabled = self.hyp["mosaic"] > 0 and self.task == "detect"
 
     def __len__(self) -> int:
@@ -108,6 +109,13 @@ class TrainLoader:
             boxes[:, [0, 2]] += pad[0]
             boxes[:, [1, 3]] += pad[1]
         extras: Dict[str, np.ndarray] = {}
+        if self.task == "obb":
+            rb = r.get("rboxes", np.zeros((0, 5), np.float32)).copy()
+            if len(rb):
+                rb[:, 0] = rb[:, 0] * ratio + pad[0]
+                rb[:, 1] = rb[:, 1] * ratio + pad[1]
+                rb[:, 2:4] *= ratio
+            extras["rboxes"] = rb
         if self.task == "segment":
             extras["mask"] = rasterize_instance_mask(
                 r.get("polygons", []), r["orig_shape"], scale=ratio, pad=pad,
@@ -131,10 +139,15 @@ class TrainLoader:
                 kp[..., 0] = self.imgsz - kp[..., 0]
                 if kp.shape[1] == len(COCO_FLIP_IDX):
                     extras["kpts"] = kp[:, COCO_FLIP_IDX]
+            if "rboxes" in extras and len(extras["rboxes"]):
+                rb = extras["rboxes"]
+                rb[:, 0] = self.imgsz - rb[:, 0]
+                rb[:, 4] = -rb[:, 4]  # mirror reflection negates the angle
+                rb[:, 4] = np.where(rb[:, 4] < -np.pi / 4, rb[:, 4] + np.pi, rb[:, 4])
         return img, boxes.astype(np.float32), r["classes"].astype(np.int32), extras
 
     def _build_batch(self, rng: random.Random, indices) -> Dict[str, np.ndarray]:
-        if self.task in ("segment", "pose"):
+        if self.task in ("segment", "pose", "obb"):
             return self._build_task_batch(rng, indices)
         images, boxes_l, cls_l, mask_l = [], [], [], []
         for i in indices:
@@ -163,6 +176,22 @@ class TrainLoader:
         k = getattr(self.ds, "kpt_shape", (17, 3))[0]
         for i in indices:
             img, boxes, cls, extras = self._build_task_sample(rng, i)
+            if self.task == "obb":
+                # fixed-shape (max_boxes, 5) rotated boxes replace xyxy
+                rb = extras["rboxes"]
+                b = np.zeros((self.max_boxes, 5), np.float32)
+                c = np.zeros((self.max_boxes,), np.int32)
+                m = np.zeros((self.max_boxes,), bool)
+                n = min(len(rb), self.max_boxes)
+                if n:
+                    b[:n] = rb[:n]
+                    c[:n] = cls[:n]
+                    m[:n] = True
+                images.append(img)
+                boxes_l.append(b)
+                cls_l.append(c)
+                valid_l.append(m)
+                continue
             b, c, m = pad_labels(boxes, cls, self.max_boxes)
             images.append(img)
             boxes_l.append(b)

@@ -69,11 +69,13 @@ def probiou_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-7) 
     # SUM of covariances: det(sum) = 4*det(Sigma), hence the 0.5 / 4x factors.
     denom = sa * sb - sc**2 + eps
     t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.5
-    det1 = jnp.maximum(a1 * b1 - c1**2, 0.0)
-    det2 = jnp.maximum(a2 * b2 - c2**2, 0.0)
+    # clamp dets INSIDE the sqrt: zero-size (padding) boxes otherwise produce
+    # inf backward gradients that survive later 0-weight masking as NaN
+    det1 = jnp.maximum(a1 * b1 - c1**2, eps)
+    det2 = jnp.maximum(a2 * b2 - c2**2, eps)
     t3 = jnp.log(denom / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
     bd = jnp.clip(t1 + t3, eps, 100.0)
-    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    hd = jnp.sqrt(jnp.maximum(1.0 - jnp.exp(-bd), eps))
     return 1.0 - hd
 
 
@@ -86,11 +88,11 @@ def probiou_pairs(b1: jnp.ndarray, b2: jnp.ndarray, eps: float = 1e-7) -> jnp.nd
     sa, sb, sc = a1 + a2, b1_ + b2_, c1 + c2
     denom = sa * sb - sc**2 + eps
     t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.5
-    det1 = jnp.maximum(a1 * b1_ - c1**2, 0.0)
-    det2 = jnp.maximum(a2 * b2_ - c2**2, 0.0)
+    det1 = jnp.maximum(a1 * b1_ - c1**2, eps)
+    det2 = jnp.maximum(a2 * b2_ - c2**2, eps)
     t3 = jnp.log(denom / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
     bd = jnp.clip(t1 + t3, eps, 100.0)
-    return 1.0 - jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return 1.0 - jnp.sqrt(jnp.maximum(1.0 - jnp.exp(-bd), eps))
 
 
 def _single_rotated_nms(rboxes, scores, conf_thres, iou_thres, *, pre_topk, max_det):
