@@ -83,6 +83,22 @@ def test_batched_independence():
     np.testing.assert_allclose(np.asarray(both["boxes"][0]), np.asarray(solo0["boxes"][0]))
 
 
+def test_logits_fast_path_matches_full_path():
+    from yolo_infer_tpu.ops.nms import batched_nms_from_logits
+
+    rng = np.random.default_rng(7)
+    a, nc = 200, 6
+    boxes = _random_boxes(rng, a)
+    logits = rng.normal(-3, 2, (a, nc)).astype(np.float32)
+    scores = 1 / (1 + np.exp(-logits))
+    full = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.1, 0.5, pre_topk=256, max_det=50)
+    fast = batched_nms_from_logits(jnp.asarray(boxes[None]), jnp.asarray(logits[None]), 0.1, 0.5, pre_topk=256, max_det=50)
+    assert int(full["num"][0]) == int(fast["num"][0])
+    n = int(full["num"][0])
+    np.testing.assert_allclose(np.asarray(full["scores"][0, :n]), np.asarray(fast["scores"][0, :n]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(full["classes"][0, :n]), np.asarray(fast["classes"][0, :n]))
+
+
 def test_anchor_idx_tracks_source():
     boxes = np.array([[0, 0, 10, 10], [100, 100, 200, 200]], np.float32)
     scores = np.array([[0.5], [0.9]], np.float32)

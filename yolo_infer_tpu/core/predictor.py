@@ -107,16 +107,21 @@ class Predictor:
                 rb = dist2rbox(dist, angle, ap[None]) * st[None]  # (B, A, 4) px
                 rboxes = jnp.concatenate([rb, angle[..., None]], axis=-1)  # (B, A, 5)
                 return batched_rotated_nms(rboxes, scores, conf, iou, pre_topk=pre_topk, max_det=max_det)
-            boxes, scores = decode_detections(out["feats"], spec.nc, spec.reg_max, spec.strides)
-            dets = batched_nms(
-                boxes,
-                scores,
-                conf,
-                iou,
-                pre_topk=pre_topk,
-                max_det=max_det,
-                multi_label=multi_label,
-            )
+            if multi_label:
+                boxes, scores = decode_detections(out["feats"], spec.nc, spec.reg_max, spec.strides)
+                dets = batched_nms(
+                    boxes, scores, conf, iou,
+                    pre_topk=pre_topk, max_det=max_det, multi_label=True,
+                )
+            else:
+                # speed path: bf16 DFL + single-label NMS from raw logits
+                from yolo_infer_tpu.ops.decode import decode_boxes_logits
+                from yolo_infer_tpu.ops.nms import batched_nms_from_logits
+
+                boxes, cls_logits = decode_boxes_logits(out["feats"], spec.nc, spec.reg_max, spec.strides)
+                dets = batched_nms_from_logits(
+                    boxes, cls_logits, conf, iou, pre_topk=pre_topk, max_det=max_det
+                )
             if spec.task == "pose":
                 b = out["kpts"][0].shape[0]
                 kflat = jnp.concatenate([k.reshape(b, -1, k.shape[-1]) for k in out["kpts"]], axis=1)
