@@ -63,6 +63,7 @@ class Predictor:
         max_det: int = 300,
         names: Optional[Dict[int, str]] = None,
         quant_act_scales: Optional[jnp.ndarray] = None,  # static PTQ scales
+        mesh: Any = None,  # jax Mesh: shard inference batches over 'data'
     ):
         self.params = params
         self.spec = spec
@@ -71,7 +72,20 @@ class Predictor:
         self.max_det = max_det
         self.names = names or dict(COCO_NAMES)
         self.quant_act_scales = quant_act_scales
+        self.mesh = mesh
+        if mesh is not None:
+            from yolo_infer_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, mesh)
         self._cache: Dict[Tuple, Any] = {}
+
+    def _place_batch(self, images_u8: jnp.ndarray) -> jnp.ndarray:
+        """Shard the batch over the mesh's data axis (multi-chip serving)."""
+        if self.mesh is None:
+            return images_u8
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(images_u8, NamedSharding(self.mesh, P("data")))
 
     def _forward(self, params, x):
         """Model forward, inside a static-quant context when PTQ scales exist."""
@@ -237,7 +251,7 @@ class Predictor:
         """Device-resident variant: returns the raw fixed-shape dets dict (no host sync)."""
         md = max_det or self.max_det
         run = self._get(images_u8.shape[0], tuple(images_u8.shape[1:3]), imgsz, multi_label, md)
-        return run(self.params, images_u8, jnp.float32(conf), jnp.float32(iou))
+        return run(self.params, self._place_batch(images_u8), jnp.float32(conf), jnp.float32(iou))
 
 
 def _obb_to_xyxy(obb: np.ndarray, shape_hw) -> np.ndarray:
