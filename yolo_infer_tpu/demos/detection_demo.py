@@ -96,27 +96,50 @@ class DetectionDemo:
         import cv2
         import jax.numpy as jnp
 
+        from yolo_infer_tpu.ops.letterbox import letterbox
+
         info = get_video_info(video_path)
         writer = create_video_writer(output_path, info["fps"] or 30.0, (info["width"], info["height"])) if output_path else None
 
-        frame_q: "queue.Queue" = queue.Queue(maxsize=batch_size * (pipeline_depth + 1))
+        batch_q: "queue.Queue" = queue.Queue(maxsize=pipeline_depth + 1)
         stop = threading.Event()
 
-        def decoder():
+        # the producer thread decodes, letterboxes AND uploads whole batches:
+        # host->device transfer (the binding resource on remote links) overlaps
+        # both device compute and the main thread's draw/encode work
+        def producer():
             cap = cv2.VideoCapture(str(video_path))
             n = 0
+            frames: List[np.ndarray] = []
+            lbs: List[np.ndarray] = []
+
+            def flush():
+                if not frames:
+                    return
+                padded = lbs + [lbs[-1]] * (batch_size - len(lbs))
+                dev = jnp.asarray(np.stack(padded))  # async upload starts here
+                batch_q.put((list(frames), dev))
+                frames.clear()
+                lbs.clear()
+
             try:
                 while not stop.is_set():
                     ok, frame = cap.read()
                     if not ok or (max_frames and n >= max_frames):
                         break
-                    frame_q.put(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    lb, _, _ = letterbox(rgb, self.imgsz)
+                    frames.append(rgb)
+                    lbs.append(lb)
                     n += 1
+                    if len(frames) == batch_size:
+                        flush()
+                flush()
             finally:
                 cap.release()
-                frame_q.put(None)
+                batch_q.put(None)
 
-        threading.Thread(target=decoder, daemon=True).start()
+        threading.Thread(target=producer, daemon=True).start()
 
         predictor = self.model.predictor
         ratio, pad, _ = letterbox_params((info["height"], info["width"]), self.imgsz)
@@ -144,23 +167,14 @@ class DetectionDemo:
                     self._imshow("video", annotated, wait=1)
 
         try:
-            while not eof:
-                frames: List[np.ndarray] = []
-                while len(frames) < batch_size:
-                    item = frame_q.get()
-                    if item is None:
-                        eof = True
-                        break
-                    frames.append(item)
-                if not frames:
+            while True:
+                item = batch_q.get()
+                if item is None:
                     break
-                n_real = len(frames)
-                padded = frames + [frames[-1]] * (batch_size - n_real)  # static batch shape
-                dets = predictor.predict_raw(
-                    jnp.asarray(np.stack(padded)), self.conf_threshold, self.iou_threshold, self.imgsz
-                )
+                frames, dev_batch = item
+                dets = predictor.predict_raw(dev_batch, self.conf_threshold, self.iou_threshold, self.imgsz)
                 pending.append((dets, frames))  # async: device runs while host draws
-                total_frames += n_real
+                total_frames += len(frames)
                 if len(pending) > pipeline_depth:
                     drain_one()
                 if progress_every and total_frames % (progress_every * batch_size) < batch_size:
