@@ -94,6 +94,7 @@ def make_optimizer(
         )
 
     chain = [
+        optax.clip_by_global_norm(10.0),  # YOLO-standard grad clipping
         optax.add_decayed_weights(weight_decay, mask=decay_mask),
         optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=True),
     ]
@@ -186,7 +187,11 @@ def make_train_step(
         (loss, (new_bn, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             tree["params"], tree["bn_state"], batch
         )
-        finite = jnp.isfinite(loss)
+        # guard on GRADIENTS too: a step can have a finite loss but inf/NaN
+        # grads (bf16 backward overflow) — updating from those poisons the
+        # params one step before the loss-only check would catch it
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
 
         updates, new_opt = tx.update(grads, tree["opt_state"], tree["params"])
         new_params = optax.apply_updates(tree["params"], updates)
