@@ -312,9 +312,11 @@ class YOLO11Model:
         sync(self.predictor.predict_raw(dev_images, conf, iou, imgsz))
         compile_s = time.perf_counter() - t_compile
 
+        out = None
         for _ in range(warmup):
             out = self.predictor.predict_raw(dev_images, conf, iou, imgsz)
-        sync(out)
+        if out is not None:
+            sync(out)
 
         # sustained throughput: queue all runs, sync once (optionally traced —
         # the TPU answer to the reference's no-tracer gap, SURVEY.md §5)

@@ -128,13 +128,15 @@ class Predictor:
                     pre_topk=pre_topk, max_det=max_det, multi_label=True,
                 )
             else:
-                # speed path: bf16 DFL + single-label NMS from raw logits
-                from yolo_infer_tpu.ops.decode import decode_boxes_logits
-                from yolo_infer_tpu.ops.nms import batched_nms_from_logits
+                # speed path: per-level class reduction (no (B,A,nc) tensor),
+                # bf16 DFL, single-label NMS with a smaller candidate pool
+                from yolo_infer_tpu.ops.decode import decode_for_nms
+                from yolo_infer_tpu.ops.nms import batched_nms_presel
 
-                boxes, cls_logits = decode_boxes_logits(out["feats"], spec.nc, spec.reg_max, spec.strides)
-                dets = batched_nms_from_logits(
-                    boxes, cls_logits, conf, iou, pre_topk=pre_topk, max_det=max_det
+                boxes, best, cls = decode_for_nms(out["feats"], spec.nc, spec.reg_max, spec.strides)
+                dets = batched_nms_presel(
+                    boxes, best, cls, conf, iou,
+                    pre_topk=min(pre_topk, 512), max_det=max_det,
                 )
             if spec.task == "pose":
                 b = out["kpts"][0].shape[0]
@@ -214,11 +216,10 @@ class Predictor:
         for i in range(batch_np.shape[0]):
             n = int(dets["num"][i])
             obb = None
-            if dets["boxes"].shape[-1] == 5:  # oriented boxes: unpad/unscale centers + sizes
-                obb = dets["boxes"][i, :n].copy()
-                obb[:, 0] = (obb[:, 0] - pad[0]) / ratio
-                obb[:, 1] = (obb[:, 1] - pad[1]) / ratio
-                obb[:, 2:4] /= ratio
+            if dets["boxes"].shape[-1] == 5:  # oriented boxes
+                from yolo_infer_tpu.ops.letterbox import scale_obb
+
+                obb = scale_obb(dets["boxes"][i, :n], ratio, pad)
                 boxes = _obb_to_xyxy(obb, shapes[i])
             else:
                 boxes = scale_boxes(dets["boxes"][i, :n], ratio, pad, shapes[i])
@@ -229,9 +230,14 @@ class Predictor:
                 kpts[..., 1] = (kpts[..., 1] - pad[1]) / ratio
             masks = None
             if "mask_coefs" in dets and n > 0:
+                from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
+
                 masks = _assemble_masks(
                     dets["proto"][i], dets["mask_coefs"][i, :n], dets["boxes"][i, :n], imgsz
                 )
+                # drop the letterbox padding so mask aspect matches the
+                # original image (drawing then only resizes)
+                masks = crop_letterbox_masks(masks, ratio, pad, shapes[i])
             results.append(
                 Results(
                     boxes=boxes,

@@ -193,11 +193,8 @@ class YOLO11Trainer:
 
         model = self.model
         if model.nc != train_ds.nc:
-            log.info("rebuilding head: model nc=%d -> dataset nc=%d", model.nc, train_ds.nc)
-            from yolo_infer_tpu.core.model import YOLO11Model
-
-            model = YOLO11Model(f"yolo11{model.size}", task=model.task, nc=train_ds.nc, names=train_ds.names)
-            self.model = model
+            log.info("re-initializing detection head: model nc=%d -> dataset nc=%d (backbone/neck weights kept)", model.nc, train_ds.nc)
+            _adapt_head_nc(model, train_ds.nc, train_ds.names, seed=cfg.seed)
 
         tx = make_optimizer(
             cfg.lr0, lrf=cfg.lrf, total_steps=total_steps, warmup_steps=warmup_steps,
@@ -321,11 +318,16 @@ class YOLO11Trainer:
 
     def transfer_learn(self, data: str, epochs_frozen: int = 10, epochs_unfrozen: int = 40, **kw) -> Dict[str, Any]:
         """Two-phase transfer learning (reference trainer.py:257): backbone
-        frozen first, then full fine-tune at reduced lr."""
-        self._freeze = list(BACKBONE_LAYERS)
-        phase1 = self.train(data=data, epochs=epochs_frozen, name=f"{self.config.name}_phase1", **kw)
-        self._freeze = None
-        phase2 = self.train(data=data, epochs=epochs_unfrozen, lr0=self.config.lr0 * 0.1, name=f"{self.config.name}_phase2", **kw)
+        frozen first, then full fine-tune at reduced lr. Each phase gets its
+        own trainer (and run directory) over the SAME model."""
+        import dataclasses as _dc
+
+        cfg1 = _dc.replace(self.config, freeze=list(BACKBONE_LAYERS), name=f"{self.config.name}_phase1")
+        t1 = YOLO11Trainer(model=self.model, config=cfg1, callbacks=self.callbacks)
+        phase1 = t1.train(data=data, epochs=epochs_frozen, **kw)
+        cfg2 = _dc.replace(self.config, freeze=None, name=f"{self.config.name}_phase2", lr0=self.config.lr0 * 0.1)
+        t2 = YOLO11Trainer(model=self.model, config=cfg2, callbacks=self.callbacks)
+        phase2 = t2.train(data=data, epochs=epochs_unfrozen, **kw)
         return {"phase1": phase1, "phase2": phase2, "status": "completed"}
 
     def resume_training(self, **kw) -> Dict[str, Any]:
@@ -359,7 +361,15 @@ class YOLO11Trainer:
         from yolo_infer_tpu.models.yolo11 import cast_params, fold_model
 
         deploy = cast_params(fold_model(ts.ema_params, ts.bn_state), jnp.bfloat16)
-        predictor = Predictor(deploy, ts.spec, compute_dtype=self.model.compute_dtype)
+        # reuse one Predictor across epochs: params are a jit ARGUMENT, so
+        # swapping them does not retrace — per-epoch recompiles would cost
+        # 10-90s each on remote TPU
+        predictor = getattr(self, "_val_predictor", None)
+        if predictor is None:
+            predictor = Predictor(deploy, ts.spec, compute_dtype=self.model.compute_dtype)
+            self._val_predictor = predictor
+        else:
+            predictor.params = deploy
         if self.model.task == "classify":
             from yolo_infer_tpu.data.classify import ClassifyDataset, evaluate_classifier
 
@@ -379,7 +389,9 @@ class YOLO11Trainer:
         return out["metrics"]
 
     def _sync_model_from_state(self, ts) -> None:
-        self.model.params = ts.params
+        # ship the EMA weights — they are what per-epoch validation scored
+        # (raw params stay in checkpoints for exact resume)
+        self.model.params = ts.ema_params
         self.model.state = ts.bn_state
         self.model.invalidate()
 
@@ -392,6 +404,36 @@ class YOLO11Trainer:
                     lines.append(f"{k}: {v:.4f}")
         (self.run_dir / "training_summary.txt").write_text("\n".join(lines) + "\n")
         (self.run_dir / "history.json").write_text(json.dumps(history, indent=2, default=float))
+
+
+def _adapt_head_nc(model, nc: int, names, seed: int = 0) -> None:
+    """Swap the model's head for a new class count, keeping every other layer's
+    weights (the transfer-learning path; a full re-init would silently discard
+    pretrained backbones)."""
+    import jax
+
+    from yolo_infer_tpu.models.spec import build_spec
+    from yolo_infer_tpu.models.yolo11 import build_model
+
+    old_params, old_state = model.params, model.state
+    spec_kw = {}
+    for attr in ("nm", "kpt_shape", "ne"):
+        if hasattr(model.spec, attr):
+            spec_kw[attr] = getattr(model.spec, attr)
+    new_spec = build_spec(model.task, model.size, nc, **spec_kw)
+    fresh_params, fresh_state, _ = build_model(jax.random.PRNGKey(seed), model.task, model.size, nc, **spec_kw)
+    head_key = str(new_spec.layers[-1].idx)
+    new_params = dict(old_params)
+    new_params[head_key] = fresh_params[head_key]
+    new_state = dict(old_state) if old_state is not None else None
+    if new_state is not None:
+        new_state[head_key] = fresh_state[head_key]
+    model.params = new_params
+    model.state = new_state
+    model.spec = new_spec
+    model.nc = nc
+    model.names = dict(names)
+    model.invalidate()
 
 
 class MultiChipTrainer(YOLO11Trainer):

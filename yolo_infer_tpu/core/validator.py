@@ -32,12 +32,9 @@ def _boxes_to_original(raw: np.ndarray, ratio: float, pad, orig_shape) -> np.nda
     unpadded/unscaled and reduced to axis-aligned envelopes for box metrics."""
     if raw.shape[-1] == 5:
         from yolo_infer_tpu.core.predictor import _obb_to_xyxy
+        from yolo_infer_tpu.ops.letterbox import scale_obb
 
-        obb = raw.copy()
-        obb[:, 0] = (obb[:, 0] - pad[0]) / ratio
-        obb[:, 1] = (obb[:, 1] - pad[1]) / ratio
-        obb[:, 2:4] /= ratio
-        return _obb_to_xyxy(obb, orig_shape)
+        return _obb_to_xyxy(scale_obb(raw, ratio, pad), orig_shape)
     return scale_boxes(raw, ratio, pad, orig_shape)
 
 
@@ -323,19 +320,9 @@ class _SubsetDataset:
         return self._ds[self._indices[i]]
 
     def iter_val_batches(self, batch_size=16, imgsz=640):
-        from yolo_infer_tpu.ops.letterbox import letterbox
+        from yolo_infer_tpu.data.dataset import iter_letterboxed_batches
 
-        for start in range(0, len(self), batch_size):
-            records = [self[i] for i in range(start, min(start + batch_size, len(self)))]
-            imgs, metas = [], []
-            for r in records:
-                lb, ratio, pad = letterbox(r["image"], imgsz)
-                imgs.append(lb)
-                metas.append({"ratio": ratio, "pad": pad, **{k: r[k] for k in ("path", "orig_shape", "classes", "boxes")}})
-            n = len(imgs)
-            if n < batch_size:
-                imgs.extend([np.zeros_like(imgs[0])] * (batch_size - n))
-            yield {"images": np.stack(imgs), "metas": metas, "n": n}
+        yield from iter_letterboxed_batches(self, batch_size, imgsz)
 
 
 def create_validator(model_path: str = "yolo11n", **kw) -> YOLO11Validator:

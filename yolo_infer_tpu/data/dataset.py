@@ -303,21 +303,26 @@ class YOLODataset:
         image so the resize can't be a single static device op), producing a
         uniform uint8 batch the jitted pipeline consumes without recompiles.
         """
-        for start in range(0, len(self), batch_size):
-            records = [self[i] for i in range(start, min(start + batch_size, len(self)))]
-            imgs, metas = [], []
-            extra_keys = [k for k in ("polygons", "keypoints") if k in records[0]]
-            for r in records:
-                lb, ratio, pad = letterbox(r["image"], imgsz)
-                imgs.append(lb)
-                meta = {"ratio": ratio, "pad": pad, **{k: r[k] for k in ("path", "orig_shape", "classes", "boxes")}}
-                for k in extra_keys:
-                    meta[k] = r[k]
-                metas.append(meta)
-            n = len(imgs)
-            if n < batch_size:  # pad batch to static shape
-                imgs.extend([np.zeros_like(imgs[0])] * (batch_size - n))
-            yield {"images": np.stack(imgs), "metas": metas, "n": n}
+        yield from iter_letterboxed_batches(self, batch_size, imgsz)
+
+
+def iter_letterboxed_batches(dataset, batch_size: int, imgsz: int) -> Generator[Dict[str, Any], None, None]:
+    """Shared val batching over any dataset-like (__len__/__getitem__) object."""
+    for start in range(0, len(dataset), batch_size):
+        records = [dataset[i] for i in range(start, min(start + batch_size, len(dataset)))]
+        imgs, metas = [], []
+        extra_keys = [k for k in ("polygons", "keypoints") if k in records[0]]
+        for r in records:
+            lb, ratio, pad = letterbox(r["image"], imgsz)
+            imgs.append(lb)
+            meta = {"ratio": ratio, "pad": pad, **{k: r[k] for k in ("path", "orig_shape", "classes", "boxes")}}
+            for k in extra_keys:
+                meta[k] = r[k]
+            metas.append(meta)
+        n = len(imgs)
+        if n < batch_size:  # pad batch to static shape
+            imgs.extend([np.zeros_like(imgs[0])] * (batch_size - n))
+        yield {"images": np.stack(imgs), "metas": metas, "n": n}
 
 
 def polygons_to_instance_masks(polys, orig_shape_hw, ratio: float, pad, imgsz: int, downsample: int = 4) -> np.ndarray:

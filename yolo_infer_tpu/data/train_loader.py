@@ -77,7 +77,9 @@ class TrainLoader:
         self.mosaic_enabled = self.hyp["mosaic"] > 0 and self.task == "detect"
 
     def __len__(self) -> int:
-        return (len(self.ds) + self.batch_size - 1) // self.batch_size
+        # must match epoch_batches exactly (ragged final chunk is dropped
+        # when full batches exist; tiny datasets yield one padded batch)
+        return max(len(self.ds) // self.batch_size, 1)
 
     def close_mosaic(self) -> None:
         """Disable mosaic for the final close_mosaic epochs (capability parity

@@ -112,7 +112,23 @@ def forward(
             inp = prev if layer.frm == layer.idx - 1 or layer.idx == 0 else ys[layer.frm]
 
         if t == "Conv":
-            y, ns = B.apply_conv(params[key], s, inp, stride=layer.kw["stride"], training=training)
+            import os as _os
+
+            if (
+                layer.idx == 0
+                and layer.kw["k"] == 3
+                and layer.kw["stride"] == 2
+                and "w_q" not in params[key]
+                and inp.shape[1] % 2 == 0
+                and inp.shape[2] % 2 == 0
+                and _os.environ.get("YOLO_TPU_S2D", "0") == "1"  # opt-in: A/B showed XLA already handles the stem
+            ):
+                # stem: exact space-to-depth rewrite (MXU-utilization win)
+                from yolo_infer_tpu.nn.layers import stem_conv_s2d
+
+                y, ns = stem_conv_s2d(params[key], s, inp, training=training)
+            else:
+                y, ns = B.apply_conv(params[key], s, inp, stride=layer.kw["stride"], training=training)
         elif t == "C3k2":
             y, ns = B.apply_c3k2(params[key], s, inp, c3k=layer.kw["c3k"], shortcut=layer.kw["shortcut"], training=training)
         elif t == "SPPF":

@@ -85,6 +85,68 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(x, 2, axis=2)
 
 
+def stem_conv_s2d(
+    params: Params,
+    state: Optional[State],
+    x: jnp.ndarray,
+    *,
+    act: bool = True,
+    training: bool = False,
+) -> Tuple[jnp.ndarray, Optional[State]]:
+    """EXACT space-to-depth rewrite of a k=3 stride=2 pad=1 convolution.
+
+    The stem conv (3->C at full resolution) runs at ~3% MXU utilization: the
+    contraction dim is 3*9=27 against the 128-wide systolic array. Rewriting
+    x -> space_to_depth(2) turns it into a k=2 stride=1 conv with contraction
+    12*4=48 and a quarter the spatial positions. Outputs are bit-identical;
+    on v5e XLA's own conv lowering already performs comparably, so this path
+    is opt-in (YOLO_TPU_S2D=1) — kept as a documented, tested alternative for
+    hardware/compiler combinations where the stem does bind.
+
+    Derivation: y(i,j) reads input rows {2i-1, 2i, 2i+1}; in block space these
+    are (block i-1, offset 1) and (block i, offsets 0/1), i.e. a 2x2 window
+    over blocks with one always-zero tap: w2[di,dj,(dy,dx,c),o] =
+    w[2di+dy-1, 2dj+dx-1, c, o] (zero where the index is -1), applied with
+    padding (1,0)x(1,0).
+    """
+    b, h, w_dim, c = x.shape
+    assert h % 2 == 0 and w_dim % 2 == 0, "stem s2d path needs even spatial dims"
+    wk = params["w"]  # (3, 3, C_in, C_out)
+    o = wk.shape[-1]
+    # build the (2, 2, 4*C_in, C_out) block kernel from the 3x3 kernel
+    wp = jnp.pad(wk, ((1, 0), (1, 0), (0, 0), (0, 0)))  # index [2di+dy, 2dj+dx]
+    w2 = wp.reshape(2, 2, 2, 2, c, o).transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * c, o)
+    # space-to-depth(2): (B, H/2, W/2, 4*C) with (dy, dx, c) channel order
+    xs = x.reshape(b, h // 2, 2, w_dim // 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w_dim // 2, 4 * c)
+    y = lax.conv_general_dilated(
+        xs,
+        w2.astype(xs.dtype),
+        window_strides=(1, 1),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    new_state = state
+    if "gamma" in params:
+        if training:
+            xf = y.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.var(xf, axis=(0, 1, 2))
+            new_state = {
+                "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+                "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * var,
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+        scale = params["gamma"].astype(jnp.float32) * lax.rsqrt(var + BN_EPS)
+        bias = params["beta"].astype(jnp.float32) - mean * scale
+        y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    if act:
+        y = silu(y)
+    return y, new_state
+
+
 def conv_transpose2x(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """2x2-stride-2 transposed conv (torch ConvTranspose2d semantics, exact).
 

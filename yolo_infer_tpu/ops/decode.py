@@ -76,6 +76,38 @@ def decode_boxes_logits(
     return boxes, cls_logits
 
 
+def decode_for_nms(
+    feats: List[jnp.ndarray],
+    nc: int,
+    reg_max: int = 16,
+    strides: Sequence[int] = (8, 16, 32),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-level maps -> (boxes f32 (B,A,4), best_scores f32 (B,A), cls f32 (B,A)).
+
+    The class reduction (max/argmax over nc) happens PER LEVEL before any
+    concatenation, so the (B, A, 4*reg_max+nc) flattened tensor is never
+    materialized — at b128/640² that saves ~0.5 GB of HBM traffic vs the
+    concat-then-reduce formulation.
+    """
+    boxes_l, best_l, cls_l = [], [], []
+    for f, stride in zip(feats, strides):
+        b, h, w, _ = f.shape
+        box_dist = f[..., : 4 * reg_max]
+        cls_logits = f[..., 4 * reg_max :]
+        logits = box_dist.reshape(b, h * w, 4, reg_max)
+        probs = jax.nn.softmax(logits, axis=-1)
+        bins = jnp.arange(reg_max, dtype=probs.dtype)
+        dist = jnp.einsum("bafr,r->baf", probs, bins).astype(jnp.float32)
+        ap, _ = make_anchors([(h, w)], [stride])
+        boxes_l.append(dist2bbox(dist, ap[None]) * float(stride))
+        best_l.append(jnp.max(cls_logits, axis=-1).reshape(b, h * w))
+        cls_l.append(jnp.argmax(cls_logits, axis=-1).reshape(b, h * w))
+    boxes = jnp.concatenate(boxes_l, axis=1)
+    best = jax.nn.sigmoid(jnp.concatenate(best_l, axis=1).astype(jnp.float32))
+    cls = jnp.concatenate(cls_l, axis=1).astype(jnp.float32)
+    return boxes, best, cls
+
+
 def decode_detections(
     feats: List[jnp.ndarray],
     nc: int,

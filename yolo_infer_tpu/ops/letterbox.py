@@ -52,6 +52,27 @@ def letterbox(
     return img, r, (dw, dh)
 
 
+def scale_obb(obb: np.ndarray, ratio: float, pad: Tuple[float, float]) -> np.ndarray:
+    """Map rotated boxes (cx,cy,w,h,rad) from letterboxed coords to original."""
+    out = np.asarray(obb, np.float32).copy()
+    out[:, 0] = (out[:, 0] - pad[0]) / ratio
+    out[:, 1] = (out[:, 1] - pad[1]) / ratio
+    out[:, 2:4] /= ratio
+    return out
+
+
+def crop_letterbox_masks(masks: np.ndarray, ratio: float, pad: Tuple[float, float], orig_shape_hw: Tuple[int, int], downsample: int = 4) -> np.ndarray:
+    """Remove the letterbox padding band from proto-grid masks so their aspect
+    matches the original image (drawing then only needs a resize)."""
+    if masks.size == 0:
+        return masks
+    x0 = int(round(pad[0] / downsample))
+    y0 = int(round(pad[1] / downsample))
+    ch = max(int(round(orig_shape_hw[0] * ratio / downsample)), 1)
+    cw = max(int(round(orig_shape_hw[1] * ratio / downsample)), 1)
+    return masks[:, y0 : y0 + ch, x0 : x0 + cw]
+
+
 def scale_boxes(
     boxes: np.ndarray,
     ratio: float,

@@ -180,6 +180,28 @@ def _single_nms_presel(
 
 
 @partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware"))
+def batched_nms_presel(
+    boxes: jnp.ndarray,  # (B, A, 4) xyxy
+    best: jnp.ndarray,  # (B, A) best-class scores (sigmoided)
+    cls: jnp.ndarray,  # (B, A) best-class ids (float)
+    conf_thres=0.25,
+    iou_thres=0.45,
+    *,
+    pre_topk: int = 512,
+    max_det: int = 300,
+    class_aware: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Single-label NMS over pre-reduced (best, cls) — pairs with
+    ops.decode.decode_for_nms, which reduces classes per level."""
+    conf_thres = jnp.asarray(conf_thres, jnp.float32)
+    iou_thres = jnp.asarray(iou_thres, jnp.float32)
+    fn = partial(_single_nms_presel, pre_topk=pre_topk, max_det=max_det, class_aware=class_aware)
+    return jax.vmap(lambda b, s, c: fn(b, s, c, conf_thres, iou_thres))(
+        boxes.astype(jnp.float32), best.astype(jnp.float32), cls.astype(jnp.float32)
+    )
+
+
+@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware"))
 def batched_nms_from_logits(
     boxes: jnp.ndarray,  # (B, A, 4) xyxy
     cls_logits: jnp.ndarray,  # (B, A, nc) RAW logits (any float dtype)

@@ -65,10 +65,11 @@ def probiou_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-7) 
     sa = a1 + a2
     sb = b1 + b2
     sc = c1 + c2
-    # Bhattacharyya distance with Sigma = (Sigma1 + Sigma2)/2; working with the
-    # SUM of covariances: det(sum) = 4*det(Sigma), hence the 0.5 / 4x factors.
+    # Bhattacharyya distance with Sigma = (Sigma1 + Sigma2)/2, expressed via
+    # the SUM S of covariances: (1/8) d^T Sigma^-1 d = 0.25 * d^T S^-1 d, and
+    # det(Sigma) = det(S)/4 gives the 4x inside the log.
     denom = sa * sb - sc**2 + eps
-    t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.5
+    t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.25
     # clamp dets INSIDE the sqrt: zero-size (padding) boxes otherwise produce
     # inf backward gradients that survive later 0-weight masking as NaN
     det1 = jnp.maximum(a1 * b1 - c1**2, eps)
@@ -87,7 +88,7 @@ def probiou_pairs(b1: jnp.ndarray, b2: jnp.ndarray, eps: float = 1e-7) -> jnp.nd
     dy = b1[..., 1] - b2[..., 1]
     sa, sb, sc = a1 + a2, b1_ + b2_, c1 + c2
     denom = sa * sb - sc**2 + eps
-    t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.5
+    t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.25
     det1 = jnp.maximum(a1 * b1_ - c1**2, eps)
     det2 = jnp.maximum(a2 * b2_ - c2**2, eps)
     t3 = jnp.log(denom / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5

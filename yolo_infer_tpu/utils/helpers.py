@@ -185,11 +185,28 @@ def setup_logging(level: str = "INFO", log_file: Optional[Union[str, Path]] = No
 # Timing
 # ---------------------------------------------------------------------------
 
+def device_sync(tree: Any) -> None:
+    """Force completion of device work backing `tree`.
+
+    `jax.block_until_ready` alone is not sufficient through remote-TPU
+    tunnels; a tiny device->host transfer of one element per leaf-group is
+    the reliable barrier.
+    """
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(tree)
+    leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "dtype")]
+    if leaves:
+        np.asarray(leaves[0].ravel()[:1])
+
+
 class Timer:
     """Context-manager wall timer that synchronizes device work.
 
-    Unlike the reference's Timer (helpers.py:282-319) this blocks on any
-    pending device computation passed via `sync`, so TPU latencies are real.
+    Unlike the reference's Timer (helpers.py:282-319) this forces real device
+    completion for anything passed via `sync` (see device_sync), so TPU
+    latencies are real even over remote runtimes.
     """
 
     def __init__(self, name: str = "", sync: Any = None, verbose: bool = False):
@@ -204,9 +221,7 @@ class Timer:
 
     def __exit__(self, *exc):
         if self.sync is not None:
-            import jax
-
-            jax.block_until_ready(self.sync)
+            device_sync(self.sync)
         self.elapsed = time.perf_counter() - self.start
         if self.verbose:
             logger.info("%s took %s", self.name or "block", format_time(self.elapsed))
