@@ -304,6 +304,7 @@ class YOLO11Trainer:
             "epochs_completed": len(history),
             "best_fitness": best_fitness,
             "skipped_steps": int(np.asarray(ts.skipped)),
+            "corrupt_samples": getattr(loader, "corrupt_samples", 0),
             "history": history,
             "run_dir": str(self.run_dir),
             "training_time_s": total_time,

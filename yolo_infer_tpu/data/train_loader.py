@@ -75,6 +75,7 @@ class TrainLoader:
         self.task = task if task != "detect" else getattr(dataset, "task", "detect")
         # mosaic/affine pipeline is detect-only; task labels get exact transforms
         self.mosaic_enabled = self.hyp["mosaic"] > 0 and self.task == "detect"
+        self.corrupt_samples = 0  # host-side sanitation counter (robust training)
 
     def __len__(self) -> int:
         # must match epoch_batches exactly (ragged final chunk is dropped
@@ -227,6 +228,7 @@ class TrainLoader:
         try:
             return self.ds[i]
         except Exception as e:  # noqa: BLE001
+            self.corrupt_samples += 1
             logger.warning("skipping corrupt sample %d (%s)", i, e)
             return {
                 "image": np.full((self.imgsz, self.imgsz, 3), 114, np.uint8),
