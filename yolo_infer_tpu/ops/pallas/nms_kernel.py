@@ -1,13 +1,19 @@
 """Pallas TPU kernel: sequential greedy NMS suppression in one kernel.
 
-The XLA fixpoint formulation (ops.nms) re-materializes the kept-mask between
-sweeps through HBM; this kernel keeps the whole (K, K) IoU matrix and the
-kept mask resident in VMEM and runs the exact sequential greedy scan as one
-fori_loop — no HBM round-trips, no fixpoint iteration count to worry about.
-K=1024 -> 4 MB IoU block, comfortably within the ~16 MB VMEM budget.
+Keeps the whole (K, K) IoU matrix and the kept mask VMEM-resident and runs
+the exact sequential greedy scan as one fori_loop. K=1024 -> 4 MB IoU block,
+comfortably within the ~16 MB VMEM budget.
 
 Grid: one program per batch element. Scalar dynamic reads are avoided (TPU
 lane-indexing constraint) by reducing `kept * onehot(i)` instead of indexing.
+
+Measured on v5e-1 (B=128, K=512): bit-identical to the XLA fixpoint
+(ops.nms._nms_fixpoint) but ~4x slower — the K serial loop iterations of
+small VPU work lose to the fixpoint's handful of full-matrix sweeps, whose
+sweep count is the longest suppression chain (usually < 10). The fixpoint is
+therefore the production path; this kernel stands as the exactness oracle
+and the fallback for adversarial inputs with pathological chain lengths
+(where the fixpoint would need many sweeps but this kernel stays O(K)).
 """
 
 from __future__ import annotations
