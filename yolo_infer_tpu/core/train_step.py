@@ -162,7 +162,10 @@ def make_train_step(
         return forward(params, bn_state, spec, images, training=True, compute_dtype=compute_dtype)
 
     def loss_fn(params, bn_state, batch):
-        out, new_bn = _fwd(params, bn_state, batch["images"])
+        images = batch["images"]
+        if images.dtype == jnp.uint8:  # loaders ship uint8; normalize in-graph
+            images = images.astype(jnp.float32) * (1.0 / 255.0)
+        out, new_bn = _fwd(params, bn_state, images)
         kw = dict(nc=spec.nc, reg_max=spec.reg_max, strides=spec.strides, hyp=hyp)
         if spec.task == "classify":
             loss, metrics = classification_loss(out["logits"], batch["labels"])

@@ -58,7 +58,6 @@ def random_affine(
     translate: float = 0.1,
     scale: float = 0.5,
     shear: float = 0.0,
-    border: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Random scale/rotate/translate to an (imgsz, imgsz) canvas; boxes follow."""
     import cv2

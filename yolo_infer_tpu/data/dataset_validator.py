@@ -55,10 +55,11 @@ class DatasetValidator:
         self.cache_path.parent.mkdir(parents=True, exist_ok=True)
         self.cache_path.write_text(json.dumps(self._cache))
 
-    @staticmethod
-    def _file_key(path: Path) -> str:
+    def _file_key(self, path: Path) -> str:
         st = path.stat()
-        return hashlib.md5(f"{path}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()
+        # num_classes is part of the verdict, so it must be part of the key —
+        # otherwise a re-run with a different --num-classes reuses stale results
+        return hashlib.md5(f"{path}:{st.st_mtime_ns}:{st.st_size}:nc={self.num_classes}".encode()).hexdigest()
 
     # ------------------------------------------------------------- validation
 

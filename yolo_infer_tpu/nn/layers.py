@@ -224,6 +224,8 @@ def conv_block(
 
     ctx = Q.current_context()
     if "w_q" in params:  # int8 deploy path
+        if dilation != 1:
+            raise NotImplementedError("int8 conv path does not support dilation")
         x_scale = ctx.next_scale() if ctx is not None and ctx.mode == "static" else None
         y = Q.quantized_conv2d(
             x, params["w_q"], params["w_scale"], stride=stride, groups=groups, x_scale=x_scale

@@ -29,13 +29,16 @@ def make_anchors(
     return jnp.concatenate(points, axis=0), jnp.concatenate(strd, axis=0)
 
 
-def dfl_expectation(box_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
-    """(..., 4*reg_max) distribution logits -> (..., 4) expected l,t,r,b distances."""
+def dfl_expectation(box_dist: jnp.ndarray, reg_max: int = 16, dtype=jnp.float32) -> jnp.ndarray:
+    """(..., 4*reg_max) distribution logits -> (..., 4) expected l,t,r,b distances.
+
+    `dtype` is the softmax compute dtype: f32 for the val/loss paths, the
+    feats' bf16 for the speed path (error <0.1% of a bin)."""
     shape = box_dist.shape[:-1]
-    logits = box_dist.reshape(*shape, 4, reg_max).astype(jnp.float32)
+    logits = box_dist.reshape(*shape, 4, reg_max).astype(dtype)
     probs = jax.nn.softmax(logits, axis=-1)
-    bins = jnp.arange(reg_max, dtype=jnp.float32)
-    return jnp.einsum("...r,r->...", probs, bins)
+    bins = jnp.arange(reg_max, dtype=dtype)
+    return jnp.einsum("...r,r->...", probs, bins).astype(jnp.float32)
 
 
 def dist2bbox(dist: jnp.ndarray, anchor_points: jnp.ndarray, xywh: bool = False) -> jnp.ndarray:
@@ -67,11 +70,7 @@ def decode_boxes_logits(
     b = feats[0].shape[0]
     flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1)
     box_dist, cls_logits = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
-    shape = box_dist.shape[:-1]
-    logits = box_dist.reshape(*shape, 4, reg_max)
-    probs = jax.nn.softmax(logits, axis=-1)
-    bins = jnp.arange(reg_max, dtype=probs.dtype)
-    dist = jnp.einsum("...r,r->...", probs, bins).astype(jnp.float32)
+    dist = dfl_expectation(box_dist, reg_max, dtype=box_dist.dtype)
     boxes = dist2bbox(dist, anchor_points[None]) * strd[None]
     return boxes, cls_logits
 
@@ -92,12 +91,9 @@ def decode_for_nms(
     boxes_l, best_l, cls_l = [], [], []
     for f, stride in zip(feats, strides):
         b, h, w, _ = f.shape
-        box_dist = f[..., : 4 * reg_max]
+        box_dist = f[..., : 4 * reg_max].reshape(b, h * w, 4 * reg_max)
         cls_logits = f[..., 4 * reg_max :]
-        logits = box_dist.reshape(b, h * w, 4, reg_max)
-        probs = jax.nn.softmax(logits, axis=-1)
-        bins = jnp.arange(reg_max, dtype=probs.dtype)
-        dist = jnp.einsum("bafr,r->baf", probs, bins).astype(jnp.float32)
+        dist = dfl_expectation(box_dist, reg_max, dtype=box_dist.dtype)
         ap, _ = make_anchors([(h, w)], [stride])
         boxes_l.append(dist2bbox(dist, ap[None]) * float(stride))
         best_l.append(jnp.max(cls_logits, axis=-1).reshape(b, h * w))
