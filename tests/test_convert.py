@@ -83,14 +83,57 @@ def test_segment_parity(tmp_path):
     rng = np.random.default_rng(1)
     x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
     xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
-    head = tmodel.model[len(spec.layers) - 1]
-    # torch side: run DAG up to head inputs manually via full forward pieces
-    feats_t = tmodel(xt)  # detect maps from TSegment.forward (TDetect part)
+    feats_t, extras_t = tmodel(xt)
     out, _ = forward(params, meta["state"], spec, jnp.asarray(x), compute_dtype=jnp.float32)
     for t_lvl, j_lvl in zip(feats_t, out["feats"]):
         np.testing.assert_allclose(t_lvl.numpy().transpose(0, 2, 3, 1), np.asarray(j_lvl), atol=2e-4, rtol=1e-3)
-    # proto output parity
-    assert out["proto"].shape[-1] == spec.nm
+    # proto + mask-coef branch parity
+    np.testing.assert_allclose(
+        extras_t["proto"].numpy().transpose(0, 2, 3, 1), np.asarray(out["proto"]), atol=2e-4, rtol=1e-3
+    )
+    for t_lvl, j_lvl in zip(extras_t["mc"], out["mc"]):
+        np.testing.assert_allclose(t_lvl.numpy().transpose(0, 2, 3, 1), np.asarray(j_lvl), atol=2e-4, rtol=1e-3)
+
+
+# VERDICT #4 / SURVEY hard-part 6: conversion fidelity across the task x size
+# matrix. Each case saves an ultralytics-named torch checkpoint, converts it,
+# and asserts forward-parity on every head output (feats + task extras).
+_EXTRA_KEYS = {"detect": (), "segment": ("mc",), "pose": ("kpts",), "obb": ("angle",)}
+
+
+@pytest.mark.parametrize("size", ["n", "s", "m"])
+@pytest.mark.parametrize("task", ["detect", "segment", "classify", "pose", "obb"])
+def test_task_size_parity(task, size, tmp_path):
+    torch.manual_seed(hash((task, size)) % (2**31))
+    spec = build_spec(task, size, nc=7)
+    tmodel = TorchYOLO11(spec).eval()
+    path = _save_ckpt(tmp_path, tmodel, f"{task}_{size}.pt")
+    params, meta = convert_pt_checkpoint(path)
+    assert meta["task"] == task and meta["size"] == size and meta["nc"] == 7
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    out, _ = forward(params, meta["state"], spec, jnp.asarray(x), compute_dtype=jnp.float32)
+
+    def close(t, j):
+        np.testing.assert_allclose(
+            t.detach().numpy().transpose(0, 2, 3, 1) if t.ndim == 4 else t.detach().numpy(),
+            np.asarray(j), atol=5e-4, rtol=1e-3,
+        )
+
+    if task == "classify":
+        close(tmodel(xt), out["logits"])
+        return
+    ref = tmodel(xt)
+    feats_t, extras_t = ref if isinstance(ref, tuple) else (ref, {})
+    for t_lvl, j_lvl in zip(feats_t, out["feats"]):
+        close(t_lvl, j_lvl)
+    for key in _EXTRA_KEYS[task]:
+        for t_lvl, j_lvl in zip(extras_t[key], out[key]):
+            close(t_lvl, j_lvl)
+    if task == "segment":
+        close(extras_t["proto"], out["proto"])
 
 
 def test_model_wrapper_loads_pt(torch_nano, tmp_path):

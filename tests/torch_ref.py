@@ -190,6 +190,10 @@ class TSegment(TDetect):
         )
         self.proto = TProto(ch[0], c_proto, nm)
 
+    def forward(self, xs):
+        det = super().forward(xs)
+        return det, {"mc": [self.cv4[i](x) for i, x in enumerate(xs)], "proto": self.proto(xs[0])}
+
 
 class TPose(TDetect):
     def __init__(self, nc, ch, nk=51, reg_max=16):
@@ -199,6 +203,10 @@ class TPose(TDetect):
             nn.Sequential(TConv(c, c4, 3), TConv(c4, c4, 3), nn.Conv2d(c4, nk, 1)) for c in ch
         )
 
+    def forward(self, xs):
+        det = super().forward(xs)
+        return det, {"kpts": [self.cv4[i](x) for i, x in enumerate(xs)]}
+
 
 class TOBB(TDetect):
     def __init__(self, nc, ch, ne=1, reg_max=16):
@@ -207,6 +215,23 @@ class TOBB(TDetect):
         self.cv4 = nn.ModuleList(
             nn.Sequential(TConv(c, c4, 3), TConv(c4, c4, 3), nn.Conv2d(c4, ne, 1)) for c in ch
         )
+
+    def forward(self, xs):
+        det = super().forward(xs)
+        return det, {"angle": [self.cv4[i](x) for i, x in enumerate(xs)]}
+
+
+class TClassify(nn.Module):
+    """ultralytics Classify head: Conv(c1, 1280, 1) -> GAP -> Linear."""
+
+    def __init__(self, c1, c2, c_=1280):
+        super().__init__()
+        self.conv = TConv(c1, c_, 1)
+        self.pool = nn.AdaptiveAvgPool2d(1)
+        self.linear = nn.Linear(c_, c2)
+
+    def forward(self, x):
+        return self.linear(self.pool(self.conv(x)).flatten(1))
 
 
 class TorchYOLO11(nn.Module):
@@ -238,6 +263,8 @@ class TorchYOLO11(nn.Module):
                 m = TPose(spec.nc, layer.c_in, spec.kpt_shape[0] * spec.kpt_shape[1], spec.reg_max)
             elif t == "OBB":
                 m = TOBB(spec.nc, layer.c_in, spec.ne, spec.reg_max)
+            elif t == "Classify":
+                m = TClassify(layer.c_in, spec.nc, layer.kw.get("c_hidden", 1280))
             else:
                 raise NotImplementedError(t)
             layers.append(m)

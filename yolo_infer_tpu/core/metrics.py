@@ -102,7 +102,9 @@ def oks_matrix(
     d2 = ((pred_kpts[:, None, :, :2] - gt_kpts[None, :, :, :2]) ** 2).sum(-1)  # (N, M, K)
     vis = (gt_kpts[None, :, :, 2] > 0).astype(np.float32)  # (1->N, M, K)
     s2 = (2 * sigmas[None, None, :]) ** 2
-    e = d2 / (s2 * (gt_areas[None, :, None] + eps) * 2)
+    # COCO scale convention: object scale = 0.53 * bbox area (ultralytics
+    # kpt_iou applies the same factor — keeps pose mAP comparable).
+    e = d2 / (s2 * (0.53 * gt_areas[None, :, None] + eps) * 2)
     oks = (np.exp(-e) * vis).sum(-1) / np.maximum(vis.sum(-1), eps)
     return oks.astype(np.float32)
 

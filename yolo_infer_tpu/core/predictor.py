@@ -192,7 +192,7 @@ class Predictor:
         md = max_det or self.max_det
         t0 = time.perf_counter()
         run = self._get(batch_np.shape[0], shapes[0], imgsz, multi_label, md)
-        dets = run(self.params, jnp.asarray(batch_np), jnp.float32(conf), jnp.float32(iou))
+        dets = run(self.params, self._place_batch(jnp.asarray(batch_np)), jnp.float32(conf), jnp.float32(iou))
         dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)
         dt = (time.perf_counter() - t0) * 1000
 

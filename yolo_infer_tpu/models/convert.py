@@ -42,12 +42,24 @@ class _Stub:
         pass
 
 
+# Only these module prefixes may resolve to REAL importable objects during
+# unpickling; anything else (os, subprocess, builtins, shutil, ...) becomes an
+# inert stub, closing the classic pickle-RCE gadgets. torch/numpy/collections
+# are required to rebuild tensors; ultralytics classes are never importable
+# here and are stubbed structurally. NOTE: conversion should still only be run
+# on checkpoints from trusted sources — torch's own surface is large.
+_SAFE_MODULE_PREFIXES = ("torch", "numpy", "collections")
+
+
 class _PermissiveUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        try:
-            return super().find_class(module, name)
-        except Exception:  # noqa: BLE001 - any missing class becomes a stub
-            return type(name, (_Stub,), {"__module__": module})
+        root = module.split(".", 1)[0]
+        if root in _SAFE_MODULE_PREFIXES:
+            try:
+                return super().find_class(module, name)
+            except Exception:  # noqa: BLE001 - missing class becomes a stub
+                pass
+        return type(name, (_Stub,), {"__module__": module})
 
 
 def permissive_torch_load(path: Union[str, Path]) -> Any:

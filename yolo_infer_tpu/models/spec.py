@@ -69,8 +69,13 @@ _HEADS: Dict[str, Tuple[Union[int, List[int]], int, str, List[Any]]] = {
     "obb": ([16, 19, 22], 1, "OBB", []),
 }
 
-# Classification model: backbone only + Classify head.
-_CLS_HEAD: Tuple[Union[int, List[int]], int, str, List[Any]] = (-1, 1, "Classify", [])
+# Classification model: the upstream yolo11-cls backbone OMITS SPPF —
+# layers 0-8 match detect, then C2PSA sits at index 9 and Classify at 10
+# (keeps converted official *-cls.pt checkpoints layer-aligned).
+_CLS_BACKBONE: List[Tuple[Union[int, List[int]], int, str, List[Any]]] = (
+    _BACKBONE[:9] + [(-1, 2, "C2PSA", [1024])]  # 9
+)
+_CLS_HEAD: Tuple[Union[int, List[int]], int, str, List[Any]] = (-1, 1, "Classify", [])  # 10
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -118,7 +123,7 @@ def build_spec(task: str = "detect", size: str = "n", nc: int = 80, **extras) ->
     depth, width, max_ch = SCALES[size]
 
     if task == "classify":
-        table = list(_BACKBONE) + [_CLS_HEAD]
+        table = list(_CLS_BACKBONE) + [_CLS_HEAD]
     else:
         table = list(_BACKBONE) + list(_NECK) + [_HEADS[task]]
 

@@ -131,9 +131,13 @@ def stem_conv_s2d(
             xf = y.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 1, 2))
             var = jnp.var(xf, axis=(0, 1, 2))
+            # torch updates running_var with the UNBIASED (N-1) estimate while
+            # normalizing the batch with the biased one — mirror both.
+            n = xf.shape[0] * xf.shape[1] * xf.shape[2]
+            var_unbiased = var * (n / max(n - 1, 1))
             new_state = {
                 "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
-                "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * var,
+                "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * var_unbiased,
             }
         else:
             mean, var = state["mean"], state["var"]
@@ -252,9 +256,11 @@ def conv_block(
             xf = y.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 1, 2))
             var = jnp.var(xf, axis=(0, 1, 2))
+            n = xf.shape[0] * xf.shape[1] * xf.shape[2]
+            var_unbiased = var * (n / max(n - 1, 1))  # torch running_var rule
             new_state = {
                 "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
-                "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * var,
+                "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * var_unbiased,
             }
         else:
             mean = state["mean"]
