@@ -80,13 +80,36 @@ def test_ptq_calibration_and_predict(float_model):
     q.set_calibration_data([rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8) for _ in range(3)])
     qmodel = q.optimize()
     scales = np.asarray(qmodel.quant_act_scales)
-    assert scales.ndim == 1 and len(scales) > 50  # one per conv_block conv
+    # one (input, output) absmax pair per QUANTIZED conv (int8-residency path)
+    assert scales.ndim == 2 and scales.shape[1] == 2 and scales.shape[0] > 30
     assert (scales > 0).all()
     img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
     res = qmodel.predict(img, conf=0.0001, imgsz=64)
     assert len(res) == 1
     info = q.get_optimization_info()
     assert info["method"] == "ptq" and info["num_observed_convs"] == len(scales)
+
+
+def test_ptq_static8_outputs_close(float_model):
+    """The int8-residency forward tracks the fp32 forward closely."""
+    from yolo_infer_tpu.models.yolo11 import forward
+    from yolo_infer_tpu.nn.quantize import QAct, QuantContext, quant_context
+
+    q = PostTrainingQuantizer(float_model, {"imgsz": 64})
+    rng = np.random.default_rng(7)
+    calib = [rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8) for _ in range(4)]
+    q.set_calibration_data(calib)
+    qmodel = q.optimize()
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    ref, _ = forward(float_model.deploy_params, None, float_model.spec, x, compute_dtype=jnp.float32)
+    with quant_context(QuantContext("static8", act_scales=qmodel.quant_act_scales)):
+        got, _ = forward(qmodel.deploy_params, None, qmodel.spec, x, compute_dtype=jnp.float32)
+    for a, b in zip(ref["feats"], got["feats"]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert not isinstance(b, QAct)  # head outputs are float
+        denom = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / denom < 0.35, np.abs(a - b).mean() / denom
 
 
 def test_ptq_requires_calibration(float_model):

@@ -92,7 +92,9 @@ class Predictor:
         from yolo_infer_tpu.nn.quantize import QuantContext, quant_context
 
         if self.quant_act_scales is not None:
-            with quant_context(QuantContext("static", act_scales=self.quant_act_scales)):
+            # (n, 2) in/out pairs -> int8-residency path; legacy (n,) -> static
+            mode = "static8" if getattr(self.quant_act_scales, "ndim", 1) == 2 else "static"
+            with quant_context(QuantContext(mode, act_scales=self.quant_act_scales)):
                 return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype)
         return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype)
 

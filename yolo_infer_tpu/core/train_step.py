@@ -42,6 +42,9 @@ class TrainState:
     skipped: Any  # int32 scalar: updates dropped by the finite guard
     spec: ModelSpec
     tx: optax.GradientTransformation
+    rng: Any = None  # PRNG key, advanced per step; checkpointed (the JAX
+    # analog of the torch/CUDA RNG streams the reference saves,
+    # reference utils/checkpoint.py:88-92)
 
     def tree(self) -> Dict[str, Any]:
         return {
@@ -51,6 +54,7 @@ class TrainState:
             "ema_params": self.ema_params,
             "step": self.step,
             "skipped": self.skipped,
+            "rng": self.rng if self.rng is not None else jax.random.PRNGKey(0),
         }
 
     def with_tree(self, tree: Dict[str, Any]) -> "TrainState":
@@ -132,6 +136,7 @@ def init_train_state(
         skipped=jnp.int32(0),
         spec=spec,
         tx=tx,
+        rng=jax.random.fold_in(rng, 0xA5),
     )
 
 
@@ -220,6 +225,9 @@ def make_train_step(
             "ema_params": new_ema,
             "step": step,
             "skipped": tree["skipped"] + jnp.where(finite, 0, 1).astype(jnp.int32),
+            # advance the key every step so any in-graph stochastic op (QAT
+            # stochastic rounding, dropout) is reproducible across resume
+            "rng": jax.random.split(tree["rng"], 1)[0],
         }
         metrics = dict(metrics)
         metrics["step_skipped"] = (~finite).astype(jnp.int32)

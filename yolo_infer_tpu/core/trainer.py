@@ -168,11 +168,17 @@ class YOLO11Trainer:
         from yolo_infer_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
         from yolo_infer_tpu.utils.checkpoint import CheckpointManager
 
+        from yolo_infer_tpu.parallel import distributed as dist
+
         cfg = dataclasses.replace(self.config, **overrides) if overrides else self.config
         if resume is not None:
             cfg = dataclasses.replace(cfg, resume=resume)
-        self.run_dir.mkdir(parents=True, exist_ok=True)
-        cfg.save(self.run_dir / "config.json")
+        # host-0 gating: under multi-process JAX only one process writes files
+        # (the reference's `RANK in {-1, 0}` gates, robust_trainer.py:375,461)
+        main = dist.is_main_process()
+        if main:
+            self.run_dir.mkdir(parents=True, exist_ok=True)
+            cfg.save(self.run_dir / "config.json")
         log = logging.getLogger("yolo_infer_tpu.train")
 
         if self.model.task == "classify":
@@ -186,6 +192,7 @@ class YOLO11Trainer:
             loader = TrainLoader(
                 train_ds, batch_size=cfg.batch, imgsz=cfg.imgsz, max_boxes=cfg.max_boxes,
                 hyp=cfg.aug_hyp(), seed=cfg.seed,
+                shard=(dist.process_index(), dist.process_count()),
             )
         steps_per_epoch = len(loader)
         total_steps = steps_per_epoch * cfg.epochs
@@ -210,14 +217,11 @@ class YOLO11Trainer:
             skipped=jnp.int32(0),
             spec=model.spec,
             tx=tx,
+            rng=jax.random.PRNGKey(cfg.seed),
         )
 
-        # data axis = the most devices that evenly divide the batch
-        import jax as _jax
-
-        n_dev = len(_jax.devices())
-        dp = max(d for d in range(1, n_dev + 1) if cfg.batch % d == 0 and n_dev % d == 0)
-        mesh = create_mesh(n_devices=dp)
+        mesh = self._build_mesh(cfg)
+        self._mesh = mesh
         ts = dataclasses.replace(
             ts,
             params=shard_params(ts.params, mesh),
@@ -279,25 +283,31 @@ class YOLO11Trainer:
                 if fitness > best_fitness:
                     best_fitness = fitness
                     epochs_without_improvement = 0
-                    ckpt_mgr.save_checkpoint(ts.tree(), epoch=epoch, metrics=row, is_best=True)
+                    if main:
+                        ckpt_mgr.save_checkpoint(ts.tree(), epoch=epoch, metrics=row, is_best=True)
                     self.callbacks.fire("on_checkpoint_save", epoch=epoch, best=True)
                 else:
                     epochs_without_improvement += 1
             history.append(row)
 
             if cfg.save_period > 0 and (epoch + 1) % cfg.save_period == 0:
-                ckpt_mgr.save_checkpoint(ts.tree(), epoch=epoch, metrics=row)
+                if main:
+                    ckpt_mgr.save_checkpoint(ts.tree(), epoch=epoch, metrics=row)
                 self.callbacks.fire("on_checkpoint_save", epoch=epoch, best=False)
 
-            if cfg.patience > 0 and epochs_without_improvement >= cfg.patience:
+            # early-stop decision agreed across processes (the reference's
+            # dist.broadcast_object_list stop flag, robust_trainer.py:493-496)
+            should_stop = 1.0 if (cfg.patience > 0 and epochs_without_improvement >= cfg.patience) else 0.0
+            if dist.broadcast_scalar(should_stop) > 0.5:
                 log.info("early stopping at epoch %d (patience %d)", epoch + 1, cfg.patience)
                 break
 
         # final state back into the model
         self._sync_model_from_state(ts)
-        ckpt_mgr.save_checkpoint(ts.tree(), epoch=final_epoch, metrics=history[-1] if history else {})
         total_time = time.perf_counter() - t_start
-        self._write_summary(history, total_time)
+        if main:
+            ckpt_mgr.save_checkpoint(ts.tree(), epoch=final_epoch, metrics=history[-1] if history else {})
+            self._write_summary(history, total_time)
         self.callbacks.fire("on_train_end", history=history)
         return {
             "status": "completed",
@@ -343,6 +353,22 @@ class YOLO11Trainer:
 
     # ---------------------------------------------------------------- helpers
 
+    def _select_devices(self) -> List[Any]:
+        """Devices the training mesh spans (overridden by MultiChipTrainer)."""
+        import jax
+
+        return list(jax.devices())
+
+    def _build_mesh(self, cfg):
+        """('data','model') mesh: data axis = most selected devices that
+        evenly divide the batch."""
+        from yolo_infer_tpu.parallel.mesh import create_mesh
+
+        devices = self._select_devices()
+        n_dev = len(devices)
+        dp = max(d for d in range(1, n_dev + 1) if cfg.batch % d == 0 and n_dev % d == 0)
+        return create_mesh(n_devices=dp, devices=devices[:dp])
+
     def _freeze_predicate(self) -> Optional[Callable[[str], bool]]:
         freeze = self._freeze
         if freeze is None:
@@ -364,11 +390,17 @@ class YOLO11Trainer:
         deploy = cast_params(fold_model(ts.ema_params, ts.bn_state), jnp.bfloat16)
         # reuse one Predictor across epochs: params are a jit ARGUMENT, so
         # swapping them does not retrace — per-epoch recompiles would cost
-        # 10-90s each on remote TPU
+        # 10-90s each on remote TPU. Validation runs over the SAME mesh as
+        # training so no chip idles during per-epoch val (VERDICT weak #6).
+        mesh = getattr(self, "_mesh", None)
         predictor = getattr(self, "_val_predictor", None)
         if predictor is None:
-            predictor = Predictor(deploy, ts.spec, compute_dtype=self.model.compute_dtype)
+            predictor = Predictor(deploy, ts.spec, compute_dtype=self.model.compute_dtype, mesh=mesh)
             self._val_predictor = predictor
+        elif mesh is not None:
+            from yolo_infer_tpu.parallel.mesh import shard_params
+
+            predictor.params = shard_params(deploy, mesh)
         else:
             predictor.params = deploy
         if self.model.task == "classify":
@@ -450,6 +482,20 @@ class MultiChipTrainer(YOLO11Trainer):
     def __init__(self, *args, device_ids: Optional[Sequence[int]] = None, **kw):
         super().__init__(*args, **kw)
         self.device_ids = device_ids
+
+    def _select_devices(self) -> List[Any]:
+        """Honor device_ids: the mesh is built from exactly these devices
+        (the TPU analog of the reference's device="0,1" string)."""
+        import jax
+
+        devices = jax.devices()
+        if self.device_ids is None:
+            return list(devices)
+        by_id = {d.id: d for d in devices}
+        missing = [i for i in self.device_ids if i not in by_id]
+        if missing:
+            raise ValueError(f"requested device ids {missing} not available (have {sorted(by_id)})")
+        return [by_id[i] for i in self.device_ids]
 
     def train(self, **kw):
         if self.device_ids is not None:

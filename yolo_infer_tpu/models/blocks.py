@@ -30,9 +30,18 @@ from yolo_infer_tpu.nn.layers import (
     init_dense,
     dense,
 )
+from yolo_infer_tpu.nn.quantize import QAct, as_float, q_add, q_concat, q_split2, q_split_at
 
 Params = Dict[str, Any]
 State = Dict[str, Any]
+
+
+def _q_maxpool(x, k: int):
+    """Max-pool that stays int8 on QAct inputs (per-tensor scale is
+    order-preserving, so pooling the raw int8 codes is exact)."""
+    if isinstance(x, QAct):
+        return QAct(max_pool(x.q, k), x.s)
+    return max_pool(x, k)
 
 
 def _split(rng, n):
@@ -66,6 +75,7 @@ def init_conv2d_bias(rng, c1: int, c2: int, k: int = 1, dtype=jnp.float32):
 
 
 def apply_conv2d_bias(p: Params, x):
+    x = as_float(x, p["w"].dtype)
     y = conv2d(x, p["w"])
     return y + p["b"].astype(y.dtype)
 
@@ -85,7 +95,7 @@ def init_bottleneck(rng, c1: int, c2: int, *, e: float = 0.5, k: Tuple[int, int]
 def apply_bottleneck(p, s, x, *, add: bool, training: bool = False):
     y, s1 = apply_conv(p["cv1"], s["cv1"] if s else None, x, training=training)
     y, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, y, training=training)
-    out = x + y if add else y
+    out = q_add(x, y) if add else y
     return out, ({"cv1": s1, "cv2": s2} if s else s)
 
 
@@ -109,7 +119,7 @@ def apply_c3k(p, s, x, *, shortcut: bool = True, training: bool = False):
     for i, mp in enumerate(p["m"]):
         a, smi = apply_bottleneck(mp, s["m"][i] if s else None, a, add=shortcut, training=training)
         sm.append(smi)
-    y, s3 = apply_conv(p["cv3"], s["cv3"] if s else None, jnp.concatenate([a, b], axis=-1), training=training)
+    y, s3 = apply_conv(p["cv3"], s["cv3"] if s else None, q_concat([a, b], axis=-1), training=training)
     return y, ({"cv1": s1, "cv2": s2, "cv3": s3, "m": sm} if s else s)
 
 
@@ -130,7 +140,7 @@ def init_c3k2(rng, c1: int, c2: int, n: int, *, c3k: bool, e: float = 0.5, dtype
 
 def apply_c3k2(p, s, x, *, c3k: bool, shortcut: bool = True, training: bool = False):
     y0, s1 = apply_conv(p["cv1"], s["cv1"] if s else None, x, training=training)
-    a, b = jnp.split(y0, 2, axis=-1)
+    a, b = q_split2(y0, axis=-1)
     ys = [a, b]
     sm = []
     for i, mp in enumerate(p["m"]):
@@ -141,7 +151,7 @@ def apply_c3k2(p, s, x, *, c3k: bool, shortcut: bool = True, training: bool = Fa
             y, smi = apply_bottleneck(mp, si, ys[-1], add=shortcut, training=training)
         ys.append(y)
         sm.append(smi)
-    out, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, jnp.concatenate(ys, axis=-1), training=training)
+    out, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, q_concat(ys, axis=-1), training=training)
     return out, ({"cv1": s1, "cv2": s2, "m": sm} if s else s)
 
 
@@ -159,10 +169,10 @@ def init_sppf(rng, c1: int, c2: int, dtype=jnp.float32):
 
 def apply_sppf(p, s, x, *, k: int = 5, training: bool = False):
     y, s1 = apply_conv(p["cv1"], s["cv1"] if s else None, x, training=training)
-    y1 = max_pool(y, k)
-    y2 = max_pool(y1, k)
-    y3 = max_pool(y2, k)
-    out, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, jnp.concatenate([y, y1, y2, y3], axis=-1), training=training)
+    y1 = _q_maxpool(y, k)
+    y2 = _q_maxpool(y1, k)
+    y3 = _q_maxpool(y2, k)
+    out, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, q_concat([y, y1, y2, y3], axis=-1), training=training)
     return out, ({"cv1": s1, "cv2": s2} if s else s)
 
 
@@ -216,10 +226,10 @@ def init_psablock(rng, c: int, *, num_heads: int, dtype=jnp.float32):
 
 def apply_psablock(p, s, x, *, num_heads: int, training: bool = False):
     a, s1 = apply_attention(p["attn"], s["attn"] if s else None, x, num_heads=num_heads, training=training)
-    x = x + a
+    x = q_add(x, a)
     f, s2 = apply_conv(p["ffn1"], s["ffn1"] if s else None, x, training=training)
     f, s3 = apply_conv(p["ffn2"], s["ffn2"] if s else None, f, act=False, training=training)
-    x = x + f
+    x = q_add(x, f)
     return x, ({"attn": s1, "ffn1": s2, "ffn2": s3} if s else s)
 
 
@@ -241,12 +251,12 @@ def apply_c2psa(p, s, x, *, e: float = 0.5, training: bool = False):
     c = int(c1 * e)
     num_heads = max(c // 64, 1)
     y, s1 = apply_conv(p["cv1"], s["cv1"] if s else None, x, training=training)
-    a, b = jnp.split(y, [c], axis=-1)
+    a, b = q_split_at(y, c, axis=-1)
     sm = []
     for i, mp in enumerate(p["m"]):
         b, smi = apply_psablock(mp, s["m"][i] if s else None, b, num_heads=num_heads, training=training)
         sm.append(smi)
-    out, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, jnp.concatenate([a, b], axis=-1), training=training)
+    out, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, q_concat([a, b], axis=-1), training=training)
     return out, ({"cv1": s1, "cv2": s2, "m": sm} if s else s)
 
 
@@ -386,6 +396,7 @@ def apply_proto(p, s, x, training=False):
     from yolo_infer_tpu.nn.layers import conv_transpose2x
 
     y, s1 = apply_conv(p["cv1"], s["cv1"] if s else None, x, training=training)
+    y = as_float(y, p["up"]["wt"].dtype)
     y = conv_transpose2x(y, p["up"]["wt"], p["up"].get("b"))
     y, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, y, training=training)
     y, s3 = apply_conv(p["cv3"], s["cv3"] if s else None, y, training=training)
@@ -401,6 +412,6 @@ def init_classify(rng, c1: int, nc: int, c_hidden: int = 1280, dtype=jnp.float32
 
 def apply_classify(p, s, x, training=False):
     y, s1 = apply_conv(p["conv"], s["conv"] if s else None, x, training=training)
-    y = adaptive_avg_pool(y)
+    y = adaptive_avg_pool(as_float(y, p["linear"]["w"].dtype))
     logits = dense(p["linear"], y)
     return logits, ({"conv": s1} if s else s)

@@ -136,9 +136,16 @@ def forward(
         elif t == "C2PSA":
             y, ns = B.apply_c2psa(params[key], s, inp, training=training)
         elif t == "Upsample":
-            y, ns = upsample2x(inp), None
+            from yolo_infer_tpu.nn.quantize import QAct
+
+            if isinstance(inp, QAct):  # nearest-neighbour repeat is exact on int8
+                y, ns = QAct(upsample2x(inp.q), inp.s), None
+            else:
+                y, ns = upsample2x(inp), None
         elif t == "Concat":
-            y, ns = jnp.concatenate(inp, axis=-1), None
+            from yolo_infer_tpu.nn.quantize import q_concat
+
+            y, ns = q_concat(inp, axis=-1), None
         elif t in ("Detect", "Segment", "Pose", "OBB"):
             feats, ns = B.apply_detect(params[key], s, inp, training=training)
             out = {"feats": feats}

@@ -67,8 +67,14 @@ def conv2d(
 
 
 def max_pool(x: jnp.ndarray, k: int, stride: int = 1, padding: Optional[int] = None) -> jnp.ndarray:
+    import numpy as _np
+
     p = k // 2 if padding is None else padding
-    neg_inf = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg_inf = -float("inf")  # weak-typed literal matches any float dtype
+    else:
+        # numpy scalar keeps the integer dtype (int8 maxpool on the quant path)
+        neg_inf = _np.asarray(_np.iinfo(_np.dtype(x.dtype)).min, _np.dtype(x.dtype))[()]
     return lax.reduce_window(
         x,
         neg_inf,
@@ -222,7 +228,8 @@ def conv_block(
     If the params were produced by `fold_batchnorm` the BN factors are already
     merged into `w`/`b` and this reduces to conv+bias+act (the deploy path).
     Int8-quantized nodes (key 'w_q', see nn.quantize) run the int8 MXU path;
-    an active QuantContext switches observe/static/fake-quant behavior.
+    an active QuantContext switches observe/static/static8/fake behavior.
+    In "static8" mode quantized convs consume/produce QAct (int8 residency).
     """
     from yolo_infer_tpu.nn import quantize as Q
 
@@ -230,6 +237,60 @@ def conv_block(
     if "w_q" in params:  # int8 deploy path
         if dilation != 1:
             raise NotImplementedError("int8 conv path does not support dilation")
+        if ctx is not None and ctx.mode == "observe8":
+            # calibration pass over the quantized tree: run the conv in float
+            # with dequantized weights and record (input, output) absmax —
+            # same tree, same order as the static8 consumer.
+            x_fp = Q.as_float(x, jnp.float32)
+            w_fp = Q.dequantize_weights(params["w_q"], params["w_scale"], x_fp.dtype)
+            y = conv2d(x_fp, w_fp, stride=stride, groups=groups)
+            if "b" in params:
+                y = y + params["b"].astype(y.dtype)
+            if act:
+                y = silu(y)
+            ctx.observe_pair(x_fp, y)
+            return y, state
+        if ctx is not None and ctx.mode == "static8":
+            idx = ctx.index
+            sx, sy = ctx.next_scale_pair()
+            if ctx.float_convs is not None and idx in ctx.float_convs:
+                # exempted conv: run dequantized-fp (first-layer exemption)
+                x_fp = Q.as_float(x, jnp.bfloat16)
+                w_fp = Q.dequantize_weights(params["w_q"], params["w_scale"], x_fp.dtype)
+                y = conv2d(x_fp, w_fp, stride=stride, groups=groups)
+                if "b" in params:
+                    y = y + params["b"].astype(y.dtype)
+                if act:
+                    y = silu(y)
+                return y, state
+            if isinstance(x, Q.QAct):
+                xq, sx = x.q, x.s  # direct int8 edge: no extra rounding
+            else:
+                xq = Q.quantize_act(x, sx).q
+            k = params["w_q"].shape[0]
+            p = k // 2
+            y = lax.conv_general_dilated(
+                xq,
+                params["w_q"],
+                window_strides=(stride, stride),
+                padding=((p, p), (p, p)),
+                feature_group_count=groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            # fused epilogue: rescale + bias + SiLU + requant, all elementwise.
+            # The int32->scale multiply happens in f32 (int32 magnitudes
+            # overflow bf16 mantissa); the rest runs in bf16 by default
+            # (measured: f32 epilogue costs ~20% e2e at b128 on v5e).
+            ed = ctx.epilogue_dtype or jnp.bfloat16
+            y = (y.astype(jnp.float32) * (sx * params["w_scale"])).astype(ed)
+            if "b" in params:
+                y = y + params["b"].astype(ed)
+            if act:
+                y = silu(y)
+            return Q.QAct(jnp.clip(jnp.round(y / sy.astype(ed)), -127, 127).astype(jnp.int8), sy), state
+        # dynamic (calibration-free) / legacy per-conv-static path: fp in/out
+        x = Q.as_float(x, getattr(x, "dtype", jnp.float32) if not isinstance(x, Q.QAct) else jnp.bfloat16)
         x_scale = ctx.next_scale() if ctx is not None and ctx.mode == "static" else None
         y = Q.quantized_conv2d(
             x, params["w_q"], params["w_scale"], stride=stride, groups=groups, x_scale=x_scale
@@ -239,6 +300,9 @@ def conv_block(
         if act:
             y = silu(y)
         return y, state
+    if isinstance(x, Q.QAct):  # float-weight node fed by an int8 edge
+        w_dt = params["w"].dtype
+        x = x.dequant(w_dt if jnp.issubdtype(w_dt, jnp.floating) else jnp.float32)
     if ctx is not None and ctx.mode == "observe":
         ctx.observe(x)
     w = params["w"]

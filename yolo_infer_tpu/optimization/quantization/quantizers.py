@@ -32,14 +32,15 @@ logger = logging.getLogger(__name__)
 MAX_CALIBRATION_BATCHES = 100  # parity: reference quantizers.py:41
 
 
-def _quantized_clone(model, act_scales=None):
+def _quantized_clone(model, act_scales=None, qparams=None):
     """Clone a YOLO11Model with int8 deploy params (+ optional PTQ scales)."""
     import jax.numpy as jnp
 
     from yolo_infer_tpu.core.model import YOLO11Model
     from yolo_infer_tpu.nn.quantize import quantize_params_tree
 
-    qparams = quantize_params_tree(model.deploy_params)
+    if qparams is None:
+        qparams = quantize_params_tree(model.deploy_params)
     return YOLO11Model.from_params(
         qparams,
         task=model.task,
@@ -84,22 +85,32 @@ class PostTrainingQuantizer(QuantizationOptimizer):
     def optimize(self) -> Any:
         if not self.calibration_data:
             raise RuntimeError("set_calibration_data() first (PTQ needs calibration batches)")
+        import jax.numpy as jnp
+
+        from yolo_infer_tpu.nn.quantize import quantize_params_tree
+
         t0 = time.perf_counter()
-        scales = self._calibrate()
-        qmodel = _quantized_clone(self.model, act_scales=scales)
+        # quantize FIRST, then calibrate on the quantized tree: observe8
+        # records (in, out) absmax at exactly the convs static8 will consume,
+        # with the quantized weights' activation statistics
+        qparams = quantize_params_tree(self.model.deploy_params)
+        scales = self._calibrate(qparams)  # (n_quantized_convs, 2)
+        qmodel = _quantized_clone(self.model, act_scales=scales, qparams=qparams)
         self.optimized_model = qmodel
         self.optimization_info = {
             "method": "ptq",
             "dtype": self.dtype,
             "num_calibration_batches": min(len(self.calibration_data), self.num_calibration_batches),
             "num_observed_convs": int(len(scales)),
+            "activation_path": "int8 residency (static in/out scales, fused requant)",
             "time_s": time.perf_counter() - t0,
         }
         logger.info("PTQ done: %d convs calibrated in %.1fs", len(scales), self.optimization_info["time_s"])
         return qmodel
 
-    def _calibrate(self) -> np.ndarray:
-        """Run observe-mode forwards; aggregate per-conv absmax over batches."""
+    def _calibrate(self, qparams) -> np.ndarray:
+        """Observe-mode forwards over the quantized tree; per-conv (input,
+        output) absmax aggregated by max over calibration batches."""
         import jax
         import jax.numpy as jnp
 
@@ -109,15 +120,14 @@ class PostTrainingQuantizer(QuantizationOptimizer):
 
         model = self.model
         spec = model.spec
-        params = model.deploy_params
         imgsz = self.imgsz
 
         @jax.jit
         def observe(p, images_u8):
             x = preprocess_batch(images_u8, out_hw=(imgsz, imgsz), dtype=model.compute_dtype)
-            with quant_context(QuantContext("observe")) as ctx:
+            with quant_context(QuantContext("observe8")) as ctx:
                 forward(p, None, spec, x, compute_dtype=model.compute_dtype)
-                return jnp.stack(ctx.collected)
+                return jnp.stack(ctx.collected)  # (n, 2)
 
         agg: Optional[np.ndarray] = None
         for i, batch in enumerate(self.calibration_data[: self.num_calibration_batches]):
@@ -126,7 +136,7 @@ class PostTrainingQuantizer(QuantizationOptimizer):
                 batch = batch[None]
             if batch.dtype != np.uint8:
                 batch = np.clip(batch * 255 if batch.max() <= 1.0 else batch, 0, 255).astype(np.uint8)
-            absmax = np.asarray(observe(params, jnp.asarray(batch)))
+            absmax = np.asarray(observe(qparams, jnp.asarray(batch)))
             agg = absmax if agg is None else np.maximum(agg, absmax)
         assert agg is not None
         return agg

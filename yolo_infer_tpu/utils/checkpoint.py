@@ -2,11 +2,14 @@
 
 Reimplements the reference's CheckpointManager contract
 (reference utils/checkpoint.py:18-312): full training state (params,
-optimizer state, PRNG key — the JAX analog of the torch/CUDA RNG streams the
-reference captures at checkpoint.py:88-92), epoch/step/metrics/best tracking,
-latest-checkpoint discovery, keep-last-N cleanup, and best-model-by-metric
-files. Storage is flax msgpack (no pickle, host-portable) + a JSON sidecar
-for cheap inspection.
+optimizer state, and the TrainState PRNG key — the JAX analog of the
+torch/CUDA RNG streams the reference captures at checkpoint.py:88-92),
+epoch/step/metrics/best tracking, latest-checkpoint discovery, keep-last-N
+cleanup, and best-model-by-metric files. Resume is epoch-granular: the train
+loader reseeds deterministically from (seed, epoch), so a resumed run
+reproduces the exact batch sequence the uninterrupted run would have seen
+(tested in tests/test_train.py). Storage is flax msgpack (no pickle,
+host-portable) + a JSON sidecar for cheap inspection.
 """
 
 from __future__ import annotations

@@ -51,9 +51,37 @@ def get_device_info() -> Dict[str, Any]:
             for d in devices
         ]
         info["tpu_available"] = any("tpu" in d.platform.lower() or "TPU" in d.device_kind for d in devices)
+        mem = _device_memory_stats()
+        if mem:
+            info["device_memory"] = mem
     except Exception as e:  # pragma: no cover
         info["jax_error"] = str(e)
     return info
+
+
+def _device_memory_stats() -> Dict[str, float]:
+    """Accelerator memory telemetry via device.memory_stats() (the TPU analog
+    of the reference's GPUtil sampling, reference utils/helpers.py:715-833).
+    Returns {} where the backend doesn't expose stats (CPU, some tunnels)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if not stats:
+            return {}
+        out: Dict[str, float] = {}
+        if "bytes_in_use" in stats:
+            out["device_mem_used_gb"] = round(stats["bytes_in_use"] / 1e9, 3)
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            out["device_mem_limit_gb"] = round(limit / 1e9, 3)
+            if "bytes_in_use" in stats:
+                out["device_mem_percent"] = round(100.0 * stats["bytes_in_use"] / limit, 1)
+        if "peak_bytes_in_use" in stats:
+            out["device_mem_peak_gb"] = round(stats["peak_bytes_in_use"] / 1e9, 3)
+        return out
+    except Exception:  # noqa: BLE001 — telemetry must never break the caller
+        return {}
 
 
 def get_system_info() -> Dict[str, Any]:
@@ -250,25 +278,34 @@ class ProgressTracker:
 # ---------------------------------------------------------------------------
 
 class ResourceMonitor:
-    """Background CPU/memory sampler with a bounded ring buffer."""
+    """Background CPU/memory/accelerator sampler with a bounded ring buffer.
 
-    def __init__(self, interval: float = 1.0, max_points: int = 1000):
+    Samples host CPU/memory plus device memory when the backend exposes
+    `memory_stats()` — the TPU equivalent of the reference's GPU
+    utilization/memory sampling (reference utils/helpers.py:715-833)."""
+
+    def __init__(self, interval: float = 1.0, max_points: int = 1000, sample_device: bool = True):
         self.interval = interval
         self.max_points = max_points
         self.history: List[Dict[str, float]] = []
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # probe once: if the backend has no memory_stats, skip per-sample cost
+        self._device = bool(sample_device and _device_memory_stats())
 
     def _sample(self) -> Dict[str, float]:
         import psutil
 
         vm = psutil.virtual_memory()
-        return {
+        out = {
             "t": time.time(),
             "cpu_percent": psutil.cpu_percent(),
             "memory_percent": vm.percent,
             "memory_used_gb": vm.used / 1e9,
         }
+        if self._device:
+            out.update(_device_memory_stats())
+        return out
 
     def _loop(self):
         while not self._stop.is_set():
@@ -291,10 +328,13 @@ class ResourceMonitor:
     def summary(self) -> Dict[str, Any]:
         if not self.history:
             return {}
-        keys = ("cpu_percent", "memory_percent", "memory_used_gb")
+        keys = ["cpu_percent", "memory_percent", "memory_used_gb"]
+        if self._device:
+            keys += [k for k in ("device_mem_used_gb", "device_mem_percent", "device_mem_peak_gb") if k in self.history[-1]]
+        present = [h for h in self.history]
         return {
-            f"avg_{k}": sum(h[k] for h in self.history) / len(self.history) for k in keys
-        } | {f"max_{k}": max(h[k] for h in self.history) for k in keys} | {"samples": len(self.history)}
+            f"avg_{k}": sum(h.get(k, 0.0) for h in present) / len(present) for k in keys
+        } | {f"max_{k}": max(h.get(k, 0.0) for h in present) for k in keys} | {"samples": len(present)}
 
     def save(self, path: Union[str, Path]):
         Path(path).parent.mkdir(parents=True, exist_ok=True)
