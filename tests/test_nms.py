@@ -105,3 +105,85 @@ def test_anchor_idx_tracks_source():
     out = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.1, 0.5, pre_topk=4, max_det=4)
     # highest score first: anchor 1 then anchor 0
     assert np.asarray(out["anchor_idx"][0, :2]).tolist() == [1, 0]
+
+
+def test_pre_topk_cap_sensitivity():
+    """The judged mAP-gate risk: at conf=0.001 x multi_label, dense clutter
+    can starve true detections out of a small candidate cap BEFORE NMS.
+    A raised val cap (4096) must recover them and be cap-insensitive vs 8192.
+    """
+    rng = np.random.default_rng(0)
+    a, nc = 8400, 80
+    scores = np.zeros((a, nc), np.float32)
+    boxes = np.zeros((a, 4), np.float32)
+
+    # 3000 clutter (anchor, class) pairs, all stacked on ONE spot with HIGHER
+    # scores than the true dets — NMS would suppress them to ~80 boxes, but a
+    # 1024 cap admits only clutter
+    clutter_anchors = rng.choice(a, 200, replace=False)
+    boxes[clutter_anchors] = [0, 0, 20, 20]
+    for an in clutter_anchors:
+        cls_ids = rng.choice(nc, 15, replace=False)
+        scores[an, cls_ids] = rng.uniform(0.21, 0.3, 15)
+
+    # 200 true detections: distinct non-overlapping boxes, LOW scores
+    true_anchors = np.asarray([x for x in range(a) if x not in set(clutter_anchors)][:200])
+    for j, an in enumerate(true_anchors):
+        r, c = divmod(j, 20)
+        boxes[an] = [c * 60 + 600, r * 60 + 100, c * 60 + 650, r * 60 + 150]
+        scores[an, j % nc] = 0.05 + 0.0005 * j
+
+    def run(cap):
+        out = batched_nms(
+            jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.001, 0.6,
+            pre_topk=cap, max_det=300, multi_label=True,
+        )
+        kept = np.asarray(out["boxes"][0][: int(out["num"][0])])
+        # count recovered true boxes (x1 >= 600 marks the true grid)
+        return kept[kept[:, 0] >= 599]
+
+    low = run(1024)
+    mid = run(4096)
+    high = run(8192)
+    assert len(low) < 50  # the small cap starves the true detections
+    assert len(mid) >= 195  # the val cap recovers them
+    # cap-insensitivity: 4096 and 8192 agree (sorted; identical survivors)
+    np.testing.assert_allclose(
+        np.sort(mid.ravel()), np.sort(high.ravel()), atol=1e-5
+    )
+
+
+def test_validator_passes_pre_topk(monkeypatch):
+    """validate() must thread its raised pre_topk into the jitted program."""
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    seen = {}
+    orig = Predictor.predict_raw
+
+    def spy(self, images, conf, iou, imgsz, *, multi_label=False, max_det=None, pre_topk=None):
+        seen["pre_topk"] = pre_topk
+        return orig(self, images, conf, iou, imgsz, multi_label=multi_label, max_det=max_det, pre_topk=pre_topk)
+
+    monkeypatch.setattr(Predictor, "predict_raw", spy)
+
+    import cv2
+    import tempfile
+    import yaml
+    from pathlib import Path
+
+    from yolo_infer_tpu.core.model import YOLO11Model
+    from yolo_infer_tpu.core.validator import YOLO11Validator
+
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        (root / "images/val").mkdir(parents=True)
+        (root / "labels/val").mkdir(parents=True)
+        img = np.full((64, 64, 3), 90, np.uint8)
+        cv2.imwrite(str(root / "images/val/a.jpg"), img)
+        (root / "labels/val/a.txt").write_text("0 0.5 0.5 0.5 0.5\n")
+        cfgp = root / "d.yaml"
+        cfgp.write_text(yaml.safe_dump({"path": str(root), "val": "images/val", "names": {0: "x"}, "nc": 1}))
+        model = YOLO11Model("yolo11n", nc=1, compute_dtype=jnp.float32)
+        v = YOLO11Validator(model=model, output_dir=root / "out")
+        v.validate(cfgp, imgsz=64, batch=1, verbose=False)
+    assert seen["pre_topk"] == 4096

@@ -100,9 +100,8 @@ class Predictor:
 
     # -- compiled program ---------------------------------------------------
 
-    def _build(self, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int):
+    def _build(self, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int, pre_topk: int):
         spec = self.spec
-        pre_topk = self.pre_topk
         compute_dtype = self.compute_dtype
 
         @jax.jit
@@ -160,10 +159,11 @@ class Predictor:
 
         return run
 
-    def _get(self, batch: int, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int):
-        key = (batch, src_hw, imgsz, multi_label, max_det)
+    def _get(self, batch: int, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int, pre_topk: Optional[int] = None):
+        pre_topk = pre_topk or self.pre_topk
+        key = (batch, src_hw, imgsz, multi_label, max_det, pre_topk)
         if key not in self._cache:
-            self._cache[key] = self._build(src_hw, imgsz, multi_label, max_det)
+            self._cache[key] = self._build(src_hw, imgsz, multi_label, max_det, pre_topk)
         return self._cache[key]
 
     # -- public API ----------------------------------------------------------
@@ -181,15 +181,26 @@ class Predictor:
         single = isinstance(images, np.ndarray) and images.ndim == 3
         if single:
             images = [images]
+        host_lb: Optional[List[Tuple[float, Tuple[float, float]]]] = None
         if isinstance(images, np.ndarray):
             batch_np = images
             shapes = [tuple(images.shape[1:3])] * images.shape[0]
         else:
             shapes = [tuple(im.shape[:2]) for im in images]
             if len(set(shapes)) != 1:
-                # heterogeneous sizes: run per-image (each shape compiles once)
-                return [self.predict(im, conf, iou, imgsz, multi_label, max_det)[0] for im in images]
-            batch_np = np.stack(images, axis=0)
+                # heterogeneous sizes: host-letterbox everything into the ONE
+                # square (imgsz, imgsz) signature instead of compiling per
+                # shape (remote compiles cost 10-90 s each); the device
+                # letterbox then is an identity pass-through
+                from yolo_infer_tpu.ops.letterbox import letterbox
+
+                lb = [letterbox(im, imgsz) for im in images]
+                batch_np = np.stack([l[0] for l in lb], axis=0)
+                host_lb = [(l[1], l[2]) for l in lb]
+                shapes_orig = shapes
+                shapes = [(imgsz, imgsz)] * len(images)
+            else:
+                batch_np = np.stack(images, axis=0)
 
         md = max_det or self.max_det
         t0 = time.perf_counter()
@@ -199,6 +210,7 @@ class Predictor:
         dt = (time.perf_counter() - t0) * 1000
 
         results: List[Results] = []
+        orig_shapes = shapes_orig if host_lb is not None else shapes
         if self.spec.task == "classify":
             for i in range(batch_np.shape[0]):
                 results.append(
@@ -206,7 +218,7 @@ class Predictor:
                         boxes=np.zeros((0, 4), np.float32),
                         scores=np.zeros((0,), np.float32),
                         classes=np.zeros((0,), np.int32),
-                        orig_shape=shapes[i],
+                        orig_shape=orig_shapes[i],
                         names=self.names,
                         probs=dets["probs"][i],
                         speed={"inference": dt / batch_np.shape[0]},
@@ -214,17 +226,20 @@ class Predictor:
                 )
             return results
 
-        ratio, pad, _ = letterbox_params(shapes[0], imgsz)
+        if host_lb is None:
+            ratio0, pad0, _ = letterbox_params(shapes[0], imgsz)
         for i in range(batch_np.shape[0]):
+            ratio, pad = host_lb[i] if host_lb is not None else (ratio0, pad0)
+            shapes_i = orig_shapes[i]
             n = int(dets["num"][i])
             obb = None
             if dets["boxes"].shape[-1] == 5:  # oriented boxes
                 from yolo_infer_tpu.ops.letterbox import scale_obb
 
                 obb = scale_obb(dets["boxes"][i, :n], ratio, pad)
-                boxes = _obb_to_xyxy(obb, shapes[i])
+                boxes = _obb_to_xyxy(obb, shapes_i)
             else:
-                boxes = scale_boxes(dets["boxes"][i, :n], ratio, pad, shapes[i])
+                boxes = scale_boxes(dets["boxes"][i, :n], ratio, pad, shapes_i)
             kpts = None
             if "kpts" in dets:
                 kpts = dets["kpts"][i, :n].copy()  # (n, K, 3)
@@ -235,17 +250,18 @@ class Predictor:
                 from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
 
                 masks = _assemble_masks(
-                    dets["proto"][i], dets["mask_coefs"][i, :n], dets["boxes"][i, :n], imgsz
+                    dets["proto"][i], dets["mask_coefs"][i, :n], dets["boxes"][i, :n], imgsz,
+                    upsample=True,  # serving parity: ultralytics process_mask(upsample=True)
                 )
                 # drop the letterbox padding so mask aspect matches the
                 # original image (drawing then only resizes)
-                masks = crop_letterbox_masks(masks, ratio, pad, shapes[i])
+                masks = crop_letterbox_masks(masks, ratio, pad, shapes_i, downsample=1)
             results.append(
                 Results(
                     boxes=boxes,
                     scores=dets["scores"][i, :n],
                     classes=dets["classes"][i, :n].astype(np.int32),
-                    orig_shape=shapes[i],
+                    orig_shape=shapes_i,
                     names=self.names,
                     keypoints=kpts,
                     masks=masks,
@@ -255,10 +271,14 @@ class Predictor:
             )
         return results
 
-    def predict_raw(self, images_u8: jnp.ndarray, conf: float, iou: float, imgsz: int, *, multi_label=False, max_det=None):
-        """Device-resident variant: returns the raw fixed-shape dets dict (no host sync)."""
+    def predict_raw(self, images_u8: jnp.ndarray, conf: float, iou: float, imgsz: int, *, multi_label=False, max_det=None, pre_topk=None):
+        """Device-resident variant: returns the raw fixed-shape dets dict (no host sync).
+
+        `pre_topk` overrides the candidate cap before NMS (the validator
+        raises it: at conf=0.001 x multi_label the above-threshold
+        (anchor, class) pool can exceed the serving default)."""
         md = max_det or self.max_det
-        run = self._get(images_u8.shape[0], tuple(images_u8.shape[1:3]), imgsz, multi_label, md)
+        run = self._get(images_u8.shape[0], tuple(images_u8.shape[1:3]), imgsz, multi_label, md, pre_topk)
         return run(self.params, self._place_batch(images_u8), jnp.float32(conf), jnp.float32(iou))
 
 
@@ -274,8 +294,18 @@ def _obb_to_xyxy(obb: np.ndarray, shape_hw) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _assemble_masks(proto: np.ndarray, coefs: np.ndarray, boxes_letterboxed: np.ndarray, imgsz: int) -> np.ndarray:
-    """sigmoid(proto @ coefs) cropped to each box; returns (n, Hm, Wm) in proto grid.
+def _assemble_masks(
+    proto: np.ndarray,
+    coefs: np.ndarray,
+    boxes_letterboxed: np.ndarray,
+    imgsz: int,
+    upsample: bool = False,
+) -> np.ndarray:
+    """sigmoid(proto @ coefs), cropped to each box at proto resolution, then
+    optionally bilinearly upsampled to (imgsz, imgsz) — the exact order of
+    ultralytics ops.process_mask(upsample=True), which the reference's
+    serving path uses; validation compares at proto resolution (upsample
+    False), matching ultralytics' val default.
 
     Host-side (n is small post-NMS); the matmul is (Hm*Wm, nm) x (nm, n).
     """
@@ -289,4 +319,12 @@ def _assemble_masks(proto: np.ndarray, coefs: np.ndarray, boxes_letterboxed: np.
     xs = np.arange(wm)[None, None, :]
     b = boxes_letterboxed * scale
     keep = (xs >= b[:, 0, None, None]) & (xs < b[:, 2, None, None]) & (ys >= b[:, 1, None, None]) & (ys < b[:, 3, None, None])
-    return (m * keep).astype(np.float32)
+    m = (m * keep).astype(np.float32)
+    if upsample and len(m):
+        import cv2
+
+        # one multi-channel resize call for all instances
+        chans = np.ascontiguousarray(m.transpose(1, 2, 0))  # (Hm, Wm, n)
+        up = cv2.resize(chans, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+        m = (up[..., None] if up.ndim == 2 else up).transpose(2, 0, 1)
+    return m

@@ -70,6 +70,7 @@ class YOLO11Validator:
         multi_label: bool = True,
         verbose: bool = True,
         confusion_matrix: bool = False,
+        pre_topk: int = 4096,
     ) -> Dict[str, Any]:
         """Run validation; returns {metrics, speed, num_images, ...}."""
         import jax.numpy as jnp
@@ -112,9 +113,12 @@ class YOLO11Validator:
 
         for batch_data in ds.iter_val_batches(batch_size=batch, imgsz=imgsz):
             t0 = time.perf_counter()
+            # pre_topk=4096 for val: at conf=0.001 the multi-label candidate
+            # pool exceeds the serving cap; 4096 is cap-insensitive (mAP shift
+            # <0.05 vs 8192 on dense synthetic GT — tests/test_nms.py)
             dets = predictor.predict_raw(
                 jnp.asarray(batch_data["images"]), conf, iou, imgsz,
-                multi_label=multi_label, max_det=max_det,
+                multi_label=multi_label, max_det=max_det, pre_topk=pre_topk,
             )
             if pending is not None:
                 drain(*pending)  # host matches previous batch while device runs
@@ -270,14 +274,14 @@ class YOLO11Validator:
             "k": k,
         }
 
-    def _validate_dataset(self, ds, predictor=None, imgsz: int = 640, batch: int = 16, conf: float = 0.001, iou: float = 0.6, **kw) -> Dict[str, Any]:
+    def _validate_dataset(self, ds, predictor=None, imgsz: int = 640, batch: int = 16, conf: float = 0.001, iou: float = 0.6, pre_topk: int = 4096, **kw) -> Dict[str, Any]:
         import jax.numpy as jnp
 
         predictor = predictor or self.model.predictor
         metrics = DetMetrics(nc=ds.nc)
         n_images = 0
         for batch_data in ds.iter_val_batches(batch_size=batch, imgsz=imgsz):
-            dets = predictor.predict_raw(jnp.asarray(batch_data["images"]), conf, iou, imgsz, multi_label=True)
+            dets = predictor.predict_raw(jnp.asarray(batch_data["images"]), conf, iou, imgsz, multi_label=True, pre_topk=pre_topk)
             dets_np = {k2: np.asarray(v) for k2, v in dets.items() if v is not None}
             for i in range(batch_data["n"]):
                 m = batch_data["metas"][i]
