@@ -72,7 +72,32 @@ def main() -> int:
     print("metrics:", res["metrics"])
     ok = res["metrics"]["mAP50"] > 0.9
     print("OVERFIT CHECK:", "PASS" if ok else "FAIL (expect mAP50>0.9 at >=400 epochs)")
-    return 0 if ok else 1
+
+    # PTQ accuracy gate on the same harness: the int8-residency model must
+    # stay within 1% mAP50 of the trained bf16/fp32 model (VERDICT #1
+    # done-criterion; the reference's quantization contract is accuracy-
+    # preserving speedup, reference quantizers.py:48-91)
+    from yolo_infer_tpu.optimization.quantization.quantizers import PostTrainingQuantizer
+
+    q = PostTrainingQuantizer(model, {"imgsz": args.imgsz})
+    import numpy as _np
+
+    calib = []
+    for i in range(8):
+        img = cv2.imread(str(root / f"images/train/i{i}.jpg"))[:, :, ::-1]
+        from yolo_infer_tpu.ops.letterbox import letterbox
+
+        calib.append(letterbox(_np.ascontiguousarray(img), args.imgsz)[0][None])
+    q.set_calibration_data(calib)
+    qmodel = q.optimize()
+    qres = YOLO11Validator(model=qmodel, output_dir=root / "val_int8").validate(
+        str(root / "data.yaml"), imgsz=args.imgsz, batch=8, conf=0.001, verbose=False
+    )
+    delta = res["metrics"]["mAP50"] - qres["metrics"]["mAP50"]
+    print(f"int8 metrics: {qres['metrics']}  (mAP50 delta vs float: {delta:+.4f})")
+    q_ok = delta < 0.01
+    print("INT8 ACCURACY CHECK:", "PASS" if q_ok else "FAIL (expect mAP50 within 1%)")
+    return 0 if (ok and q_ok) else 1
 
 
 if __name__ == "__main__":

@@ -253,7 +253,14 @@ def conv_block(
         if ctx is not None and ctx.mode == "static8":
             idx = ctx.index
             sx, sy = ctx.next_scale_pair()
-            if ctx.float_convs is not None and idx in ctx.float_convs:
+            ci = params["w_q"].shape[2] * groups
+            co = params["w_q"].shape[3]
+            # eligibility is batch-aware (trace-time): at large batch the
+            # 1-byte HBM residency pays off down to C=64; at small batch only
+            # C>=128 convs beat bf16 (measured sweep — see QuantContext)
+            thresh = ctx.int8_min_channels if x.shape[0] < 64 else min(ctx.int8_min_channels, 64)
+            exempt = min(ci, co) < thresh
+            if exempt or (ctx.float_convs is not None and idx in ctx.float_convs):
                 # exempted conv: run dequantized-fp (first-layer exemption)
                 x_fp = Q.as_float(x, jnp.bfloat16)
                 w_fp = Q.dequantize_weights(params["w_q"], params["w_scale"], x_fp.dtype)

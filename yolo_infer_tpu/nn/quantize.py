@@ -213,9 +213,14 @@ class QuantContext:
     collected: List[jnp.ndarray] = dataclasses.field(default_factory=list)
     act_scales: Optional[jnp.ndarray] = None  # (n,) static | (n, 2) static8
     index: int = 0
-    epilogue_dtype: Any = None  # static8 epilogue compute dtype (default f32)
+    epilogue_dtype: Any = None  # static8 epilogue compute dtype (default bf16)
     float_convs: Optional[set] = None  # static8: conv indices forced to run
     # dequantized-fp (first-layer exemption / perf ablation)
+    int8_min_channels: int = 128  # static8: convs with min(Cin, Cout) below
+    # this run dequantized-bf16. Measured on v5e (tools/bench_pallas_conv.py
+    # boundary sweep): int8 convs WIN at C>=128 (1.10-1.32x bf16), sit at
+    # ~0.93-0.99x for C=64, and collapse to 0.34x at C=32 with large
+    # batch*spatial — the source of the round-2 b32 e2e regression.
 
     def observe(self, x: jnp.ndarray) -> None:
         self.collected.append(jnp.max(jnp.abs(x.astype(jnp.float32))))

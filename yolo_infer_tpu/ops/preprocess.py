@@ -33,15 +33,23 @@ def preprocess_batch(
     """uint8 RGB frames -> letterboxed, /255-normalized (B, out_h, out_w, 3)."""
     _, h, w, _ = images.shape
     r, (dw, dh), (new_w, new_h) = letterbox_params((h, w), out_hw, scaleup)
-    x = images.astype(jnp.float32)
     if (new_h, new_w) != (h, w):
         # antialias=False matches cv2.INTER_LINEAR (what YOLO11 checkpoints
         # were trained with); jax's default antialiased downsample would
-        # shift the input distribution.
+        # shift the input distribution. Interpolate in f32 for precision.
+        x = images.astype(jnp.float32)
         x = jax.image.resize(x, (x.shape[0], new_h, new_w, 3), method="linear", antialias=False)
+        x = (x * (1.0 / 255.0)).astype(dtype)
+    else:
+        # no resize (square sources, the serving fast path): cast+scale fuse
+        # into ONE u8-read/bf16-write pass — an f32 intermediate here costs
+        # ~1.5 ms at batch 128 in pure HBM traffic
+        x = (images.astype(jnp.float32) * (1.0 / 255.0)).astype(dtype)
     top = int(round(dh - 0.1))
     bottom = out_hw[0] - new_h - top
     left = int(round(dw - 0.1))
     right = out_hw[1] - new_w - left
-    x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)), constant_values=float(PAD_VALUE))
-    return (x * (1.0 / 255.0)).astype(dtype)
+    if (top, bottom, left, right) != (0, 0, 0, 0):
+        x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)),
+                    constant_values=jnp.asarray(PAD_VALUE / 255.0, dtype))
+    return x
