@@ -2,12 +2,15 @@
 """Headline benchmark: yolo11n end-to-end frames/sec/chip @ 640x640.
 
 Measures the full pipeline on device — uint8 letterbox/normalize, bf16
-forward, DFL decode, batched NMS — with `jax.block_until_ready`
-synchronization, warmup=10 / runs=100 (the reference's protocol,
-reference benchmarks/speed_benchmark.py:34-39, but with real device sync;
-its wall-clock timers never synchronized — SURVEY.md §6).
+forward, DFL decode, batched NMS — with real device synchronization,
+warmup / timed runs per the reference's protocol (reference
+benchmarks/speed_benchmark.py:34-39; its wall-clock timers never
+synchronized — SURVEY.md §6).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric: yolo11n @ b32 (comparable across rounds). Extras record the
+BASELINE.md matrix (n/m at b1/b32/b128) and the int8 speedup headline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import glob
@@ -19,7 +22,6 @@ import sys
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from yolo_infer_tpu.core.model import YOLO11Model
 
@@ -27,21 +29,59 @@ def main() -> None:
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     runs = int(os.environ.get("BENCH_RUNS", "100"))
+    full = os.environ.get("BENCH_FULL", "1") == "1"
 
     model = YOLO11Model(f"yolo11{size}")
     profile_dir = os.environ.get("BENCH_PROFILE")  # set to a dir to capture a jax.profiler trace
     result = model.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=10, profile_dir=profile_dir)
     fps = result["throughput_imgs_per_s"]
 
-    # secondary reading at the throughput-optimal batch (b128 ~2x b32 on v5e)
-    big_batch = int(os.environ.get("BENCH_BIG_BATCH", "128"))
-    big_fps = None
-    if big_batch > batch:
+    extras = {
+        "avg_ms": result["avg_time_s"] * 1e3,
+        "std_ms": result["std_time_s"] * 1e3,
+        "compile_s": result["compile_time_s"],
+        "backend": jax.default_backend(),
+        "batch": batch,
+        "imgsz": imgsz,
+    }
+
+    def _try(name, fn):
         try:
-            big = model.benchmark(imgsz=imgsz, batch=big_batch, runs=max(runs // 4, 10), warmup=3)
-            big_fps = round(big["throughput_imgs_per_s"], 2)
-        except Exception:
-            pass
+            extras[name] = fn()
+        except Exception as e:  # noqa: BLE001 — extras must not sink the headline
+            extras[name + "_error"] = str(e)[:120]
+
+    if full:
+        big_batch = int(os.environ.get("BENCH_BIG_BATCH", "128"))
+        _try("fps_b%d" % big_batch, lambda: round(
+            model.benchmark(imgsz=imgsz, batch=big_batch, runs=max(runs // 4, 10), warmup=3)["throughput_imgs_per_s"], 1))
+        _try("b1_device_ms", lambda: round(
+            model.benchmark(imgsz=imgsz, batch=1, runs=50, warmup=5)["avg_time_s"] * 1e3, 2))
+
+        def _m_numbers():
+            m = YOLO11Model("yolo11m")
+            r32 = m.benchmark(imgsz=imgsz, batch=32, runs=30, warmup=3)
+            r128 = m.benchmark(imgsz=imgsz, batch=128, runs=15, warmup=3)
+            out = {"m_fps_b32": round(r32["throughput_imgs_per_s"], 1),
+                   "m_fps_b128": round(r128["throughput_imgs_per_s"], 1)}
+            # int8 residency headline: yolo11m @ b128
+            import numpy as np
+
+            from yolo_infer_tpu.optimization.quantization.quantizers import PostTrainingQuantizer
+
+            q = PostTrainingQuantizer(m, {"imgsz": imgsz})
+            rng = np.random.default_rng(0)
+            q.set_calibration_data([rng.integers(0, 255, (2, imgsz, imgsz, 3), dtype=np.uint8)])
+            qm = q.optimize()
+            ri = qm.benchmark(imgsz=imgsz, batch=128, runs=15, warmup=3)
+            out["m_int8_fps_b128"] = round(ri["throughput_imgs_per_s"], 1)
+            out["m_int8_speedup_b128"] = round(ri["throughput_imgs_per_s"] / r128["throughput_imgs_per_s"], 3)
+            return out
+
+        if os.environ.get("BENCH_MATRIX", "1") == "1":
+            _try("matrix", _m_numbers)
+            if isinstance(extras.get("matrix"), dict):
+                extras.update(extras.pop("matrix"))
 
     # vs_baseline: ratio to the most recent recorded round, else 1.0
     prev = None
@@ -54,15 +94,6 @@ def main() -> None:
             pass
     vs = fps / prev if prev else 1.0
 
-    extras = {
-        "avg_ms": result["avg_time_s"] * 1e3,
-        "std_ms": result["std_time_s"] * 1e3,
-        "compile_s": result["compile_time_s"],
-        "backend": jax.default_backend(),
-        "batch": batch,
-        "imgsz": imgsz,
-        "fps_at_batch_%d" % big_batch: big_fps,
-    }
     print(json.dumps({
         "metric": f"yolo11{size}_{imgsz}_b{batch}_e2e_fps_per_chip",
         "value": round(fps, 2),

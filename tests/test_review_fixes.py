@@ -50,8 +50,9 @@ def test_masks_unletterboxed_aspect():
     res = m.predict(img, conf=0.0001, imgsz=64)[0]
     if not len(res) or res.masks is None:
         pytest.skip("no detections with random weights")
-    # content occupies 32 of 64 letterbox rows -> mask rows 8, cols 16
-    assert res.masks.shape[1:] == (8, 16)
+    # content occupies 32 of 64 letterbox rows; serving masks are upsampled
+    # to imgsz before the letterbox crop -> rows 32, cols 64
+    assert res.masks.shape[1:] == (32, 64)
 
 
 def test_trainer_ships_ema_weights(tmp_path):

@@ -80,7 +80,9 @@ def test_obb_converter_parity(tmp_path):
     params, meta = convert_pt_checkpoint(path)
     assert meta["task"] == "obb" and meta["nc"] == 15
     x = np.random.default_rng(3).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
-    ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref, extras_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
     out, _ = forward(params, meta["state"], spec, jnp.asarray(x), compute_dtype=jnp.float32)
+    for t_lvl, j_lvl in zip(extras_t["angle"], out["angle"]):
+        np.testing.assert_allclose(t_lvl.detach().numpy().transpose(0, 2, 3, 1), np.asarray(j_lvl), atol=2e-4, rtol=1e-3)
     for t_lvl, j_lvl in zip(ref, out["feats"]):
         np.testing.assert_allclose(t_lvl.numpy().transpose(0, 2, 3, 1), np.asarray(j_lvl), atol=2e-4, rtol=1e-3)
