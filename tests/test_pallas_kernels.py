@@ -43,3 +43,59 @@ def test_greedy_nms_kernel_respects_valid_mask():
     valid[:5] = True
     kept = np.asarray(greedy_nms_pallas(jnp.asarray(iou), jnp.asarray(valid[None]), 0.5, interpret=True))[0]
     assert kept[:5].all() and not kept[5:].any()
+
+
+def _random_sorted_candidates(rng, b, k):
+    cxy = rng.uniform(50, 590, (b, k, 2))
+    wh = rng.uniform(10, 120, (b, k, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+    scores = -np.sort(-rng.uniform(0, 1, (b, k)).astype(np.float32), axis=1)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fused_nms_kernel_matches_fixpoint_and_oracle(seed):
+    """nms_fused (the TPU production keep kernel) == XLA fixpoint == oracle."""
+    import jax
+
+    from yolo_infer_tpu.ops.nms import _nms_fixpoint
+    from yolo_infer_tpu.ops.pallas.nms_fused import nms_keep_pallas
+
+    rng = np.random.default_rng(seed)
+    b, k = 3, 160  # non-multiple-of-128 K exercises lane padding
+    boxes, scores = _random_sorted_candidates(rng, b, k)
+    valid = scores > 0.15
+
+    kept_pl = np.asarray(nms_keep_pallas(jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True))
+    kept_fx = np.asarray(
+        jax.vmap(
+            lambda bx, va: _nms_fixpoint(box_iou_matrix(bx, bx), va, jnp.float32(0.5), max_sweeps=k)
+        )(jnp.asarray(boxes), jnp.asarray(valid))
+    )
+    np.testing.assert_array_equal(kept_pl, kept_fx)
+
+    for i in range(b):
+        want = np.zeros(k, bool)
+        order_keep = nms_numpy_reference(boxes[i], scores[i], 0.5)
+        want[[j for j in order_keep if valid[i, j]]] = True
+        # oracle has no validity mask: restrict to valid rows, then the greedy
+        # scan over only-valid candidates must agree
+        vb = boxes[i][valid[i]]
+        vs = scores[i][valid[i]]
+        want_v = np.zeros(valid[i].sum(), bool)
+        want_v[nms_numpy_reference(vb, vs, 0.5)] = True
+        np.testing.assert_array_equal(kept_pl[i][valid[i]], want_v)
+        assert not kept_pl[i][~valid[i]].any()
+
+
+def test_fused_nms_kernel_suppression_chain():
+    """A suppresses B, so C (overlapped only by B) must survive."""
+    from yolo_infer_tpu.ops.pallas.nms_fused import nms_keep_pallas
+
+    boxes = np.array(
+        [[[0, 0, 100, 100], [40, 0, 140, 100], [80, 0, 180, 100], [500, 500, 510, 510]]],
+        np.float32,
+    )
+    valid = np.array([[True, True, True, False]])
+    kept = np.asarray(nms_keep_pallas(jnp.asarray(boxes), jnp.asarray(valid), 0.3, interpret=True))[0]
+    assert kept.tolist() == [True, False, True, False]

@@ -147,9 +147,13 @@ class Predictor:
                 from yolo_infer_tpu.ops.nms import batched_nms_presel
 
                 boxes, best, cls = decode_for_nms(out["feats"], spec.nc, spec.reg_max, spec.strides)
+                # meshed serving keeps the GSPMD-partitionable XLA NMS; the
+                # single-chip path uses the fused Pallas keep kernel + exact
+                # ApproxTopK (ops/nms.py nms_keep_mask / _exact_topk)
                 dets = batched_nms_presel(
                     boxes, best, cls, conf, iou,
                     pre_topk=min(pre_topk, 512), max_det=max_det,
+                    impl="xla" if self.mesh is not None else "auto",
                 )
             if spec.task == "pose":
                 b = out["kpts"][0].shape[0]

@@ -138,48 +138,57 @@ def batched_nms(
     )
 
 
-def _single_nms_presel(
-    boxes: jnp.ndarray,  # (A, 4)
-    best: jnp.ndarray,  # (A,) best-class scores (sigmoided)
-    cls: jnp.ndarray,  # (A,) best-class ids (float)
-    conf_thres: jnp.ndarray,
-    iou_thres: jnp.ndarray,
-    *,
-    pre_topk: int,
-    max_det: int,
-    class_aware: bool,
-) -> Dict[str, jnp.ndarray]:
-    a = boxes.shape[0]
-    cand = jnp.where(best > conf_thres, best, -1.0)
-    k = min(pre_topk, a)
-    top_scores, top_idx = lax.top_k(cand, k)
-    ccls = cls[top_idx]
-    cboxes = boxes[top_idx]
-    valid = top_scores > 0
-    sup_boxes = cboxes + (ccls[:, None] * MAX_WH if class_aware else 0.0)
-    iou = box_iou_matrix(sup_boxes, sup_boxes)
-    kept = _nms_fixpoint(iou, valid, iou_thres, max_sweeps=k)
-    final = jnp.where(kept, top_scores, -1.0)
-    if k < max_det:
-        pad = max_det - k
-        final = jnp.concatenate([final, jnp.full((pad,), -1.0)])
-        cboxes = jnp.concatenate([cboxes, jnp.zeros((pad, 4))])
-        ccls = jnp.concatenate([ccls, jnp.zeros((pad,))])
-        top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
-    out_scores, sel = lax.top_k(final, max_det)
-    out_valid = out_scores > 0
-    z = jnp.float32(0)
-    return {
-        "boxes": jnp.where(out_valid[:, None], cboxes[sel], z),
-        "scores": jnp.where(out_valid, out_scores, z),
-        "classes": jnp.where(out_valid, ccls[sel], -1.0),
-        "valid": out_valid,
-        "num": jnp.sum(out_valid.astype(jnp.int32)),
-        "anchor_idx": jnp.where(out_valid, top_idx[sel], 0).astype(jnp.int32),
-    }
+def _on_tpu() -> bool:
+    """Trace-time backend probe (the axon tunnel reports platform 'axon')."""
+    try:
+        dev = jax.devices()[0]
+        return "tpu" in dev.platform.lower() or "tpu" in getattr(dev, "device_kind", "").lower()
+    except Exception:  # pragma: no cover - no backend at all
+        return False
 
 
-@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware"))
+def _exact_topk(cand: jnp.ndarray, k: int, impl: str = "auto") -> tuple:
+    """Exact descending top-k over the last axis.
+
+    On TPU, lax.top_k lowers to a full variadic sort (1.6 ms at (128, 8400)
+    on v5e-1); lax.approx_max_k with recall_target=1.0 uses the ApproxTopK
+    partial-reduce custom call, which is exact at recall 1.0 and measured
+    faster (tools/profile_tail.py). Equal scores may order differently than
+    top_k's index tie-break — immaterial post-NMS. Override with
+    YOLO_TOPK_IMPL=sort.
+    """
+    import os
+
+    if impl != "xla" and _on_tpu() and os.environ.get("YOLO_TOPK_IMPL", "auto") != "sort":
+        return lax.approx_max_k(cand, k, recall_target=1.0)
+    return lax.top_k(cand, k)
+
+
+def nms_keep_mask(sup_boxes: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.ndarray, k: int, impl: str = "auto") -> jnp.ndarray:
+    """Greedy-NMS keep mask over (B, K) score-sorted candidates.
+
+    On TPU this runs the fused Pallas kernel (IoU matrix + fixpoint sweeps
+    VMEM-resident, no (B, K, K) HBM round trip — ops/pallas/nms_fused.py);
+    elsewhere the XLA fixpoint. Both compute the identical keep mask.
+    impl="xla" forces the fixpoint — required under a GSPMD mesh, where a
+    pallas_call has no partitioning rule and would be replicated per chip.
+    Override globally with YOLO_NMS_IMPL=xla | pallas.
+    """
+    import os
+
+    env = os.environ.get("YOLO_NMS_IMPL", "auto")
+    if impl != "xla" and env != "xla" and (env == "pallas" or _on_tpu()):
+        from yolo_infer_tpu.ops.pallas.nms_fused import nms_keep_pallas
+
+        return nms_keep_pallas(sup_boxes, valid, iou_thres)
+
+    def one(bx, va):
+        return _nms_fixpoint(box_iou_matrix(bx, bx), va, iou_thres, max_sweeps=k)
+
+    return jax.vmap(one)(sup_boxes, valid)
+
+
+@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware", "impl"))
 def batched_nms_presel(
     boxes: jnp.ndarray,  # (B, A, 4) xyxy
     best: jnp.ndarray,  # (B, A) best-class scores (sigmoided)
@@ -190,18 +199,49 @@ def batched_nms_presel(
     pre_topk: int = 512,
     max_det: int = 300,
     class_aware: bool = True,
+    impl: str = "auto",  # "xla" forces sort+fixpoint (meshed serving)
 ) -> Dict[str, jnp.ndarray]:
     """Single-label NMS over pre-reduced (best, cls) — pairs with
-    ops.decode.decode_for_nms, which reduces classes per level."""
+    ops.decode.decode_for_nms, which reduces classes per level.
+
+    Batched end to end (no vmap): exact ApproxTopK candidate selection and
+    the fused Pallas keep kernel on TPU (see _exact_topk / nms_keep_mask).
+    """
     conf_thres = jnp.asarray(conf_thres, jnp.float32)
     iou_thres = jnp.asarray(iou_thres, jnp.float32)
-    fn = partial(_single_nms_presel, pre_topk=pre_topk, max_det=max_det, class_aware=class_aware)
-    return jax.vmap(lambda b, s, c: fn(b, s, c, conf_thres, iou_thres))(
-        boxes.astype(jnp.float32), best.astype(jnp.float32), cls.astype(jnp.float32)
-    )
+    boxes = boxes.astype(jnp.float32)
+    best = best.astype(jnp.float32)
+    cls = cls.astype(jnp.float32)
+    b, a = best.shape
+    k = min(pre_topk, a)
+    cand = jnp.where(best > conf_thres, best, -1.0)
+    top_scores, top_idx = _exact_topk(cand, k, impl)
+    cboxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    ccls = jnp.take_along_axis(cls, top_idx, axis=1)
+    valid = top_scores > 0
+    sup_boxes = cboxes + (ccls[..., None] * MAX_WH if class_aware else 0.0)
+    kept = nms_keep_mask(sup_boxes, valid, iou_thres, k, impl)
+    final = jnp.where(kept, top_scores, -1.0)
+    if k < max_det:  # fewer candidates than output slots: pad before top_k
+        pad = max_det - k
+        final = jnp.concatenate([final, jnp.full((b, pad), -1.0)], axis=1)
+        cboxes = jnp.concatenate([cboxes, jnp.zeros((b, pad, 4))], axis=1)
+        ccls = jnp.concatenate([ccls, jnp.zeros((b, pad))], axis=1)
+        top_idx = jnp.concatenate([top_idx, jnp.zeros((b, pad), top_idx.dtype)], axis=1)
+    out_scores, sel = lax.top_k(final, max_det)
+    out_valid = out_scores > 0
+    z = jnp.float32(0)
+    return {
+        "boxes": jnp.where(out_valid[..., None], jnp.take_along_axis(cboxes, sel[..., None], axis=1), z),
+        "scores": jnp.where(out_valid, out_scores, z),
+        "classes": jnp.where(out_valid, jnp.take_along_axis(ccls, sel, axis=1), -1.0),
+        "valid": out_valid,
+        "num": jnp.sum(out_valid.astype(jnp.int32), axis=1),
+        "anchor_idx": jnp.where(out_valid, jnp.take_along_axis(top_idx, sel, axis=1), 0).astype(jnp.int32),
+    }
 
 
-@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware"))
+@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware", "impl"))
 def batched_nms_from_logits(
     boxes: jnp.ndarray,  # (B, A, 4) xyxy
     cls_logits: jnp.ndarray,  # (B, A, nc) RAW logits (any float dtype)
@@ -211,6 +251,7 @@ def batched_nms_from_logits(
     pre_topk: int = 1024,
     max_det: int = 300,
     class_aware: bool = True,
+    impl: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Single-label NMS straight from logits.
 
@@ -222,11 +263,9 @@ def batched_nms_from_logits(
     best_logit = jnp.max(cls_logits, axis=-1)
     cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.float32)
     best = jax.nn.sigmoid(best_logit.astype(jnp.float32))
-    conf_thres = jnp.asarray(conf_thres, jnp.float32)
-    iou_thres = jnp.asarray(iou_thres, jnp.float32)
-    fn = partial(_single_nms_presel, pre_topk=pre_topk, max_det=max_det, class_aware=class_aware)
-    return jax.vmap(lambda b, s, c: fn(b, s, c, conf_thres, iou_thres))(
-        boxes.astype(jnp.float32), best, cls
+    return batched_nms_presel(
+        boxes, best, cls, conf_thres, iou_thres,
+        pre_topk=pre_topk, max_det=max_det, class_aware=class_aware, impl=impl,
     )
 
 
