@@ -99,3 +99,33 @@ def test_fused_nms_kernel_suppression_chain():
     valid = np.array([[True, True, True, False]])
     kept = np.asarray(nms_keep_pallas(jnp.asarray(boxes), jnp.asarray(valid), 0.3, interpret=True))[0]
     assert kept.tolist() == [True, False, True, False]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fused_rotated_nms_kernel_matches_fixpoint(seed):
+    """rotated_nms_keep_pallas == XLA probIoU fixpoint (the OBB serving path)."""
+    import jax
+
+    from yolo_infer_tpu.ops.nms import _nms_fixpoint
+    from yolo_infer_tpu.ops.pallas.nms_fused import rotated_nms_keep_pallas
+    from yolo_infer_tpu.ops.rotated import _cov, probiou_matrix
+
+    rng = np.random.default_rng(seed)
+    b, k = 2, 160  # non-multiple-of-128 K exercises lane padding
+    cxy = rng.uniform(50, 590, (b, k, 2))
+    wh = rng.uniform(10, 120, (b, k, 2))
+    ang = rng.uniform(-np.pi / 2, np.pi / 2, (b, k, 1))
+    rboxes = jnp.asarray(np.concatenate([cxy, wh, ang], -1).astype(np.float32))
+    scores = -np.sort(-rng.uniform(0, 1, (b, k)).astype(np.float32), axis=1)
+    valid = jnp.asarray(scores > 0.15)
+
+    ca, cb_, cc = _cov(rboxes)
+    gauss = jnp.stack([rboxes[..., 0], rboxes[..., 1], ca, cb_, cc], axis=-1)
+    kept_pl = np.asarray(rotated_nms_keep_pallas(gauss, valid, 0.4, interpret=True))
+    kept_fx = np.asarray(
+        jax.vmap(
+            lambda bx, va: _nms_fixpoint(probiou_matrix(bx, bx), va, jnp.float32(0.4), max_sweeps=k)
+        )(rboxes, valid)
+    )
+    np.testing.assert_array_equal(kept_pl, kept_fx)
+    assert kept_pl.any() and not kept_pl[~np.asarray(valid)].any()

@@ -133,7 +133,10 @@ class Predictor:
                 dist, scores, ap, st = decode_raw(out["feats"], spec.nc, spec.reg_max, spec.strides)
                 rb = dist2rbox(dist, angle, ap[None]) * st[None]  # (B, A, 4) px
                 rboxes = jnp.concatenate([rb, angle[..., None]], axis=-1)  # (B, A, 5)
-                return batched_rotated_nms(rboxes, scores, conf, iou, pre_topk=pre_topk, max_det=max_det)
+                return batched_rotated_nms(
+                    rboxes, scores, conf, iou, pre_topk=pre_topk, max_det=max_det,
+                    impl="xla" if self.mesh is not None else "auto",
+                )
             if multi_label:
                 boxes, scores = decode_detections(out["feats"], spec.nc, spec.reg_max, spec.strides)
                 dets = batched_nms(

@@ -64,7 +64,7 @@ def _single_nms(
         flat = scores.reshape(-1)  # (A*nc,)
         cand = jnp.where(flat > conf_thres, flat, -1.0)
         k = min(pre_topk, a * nc)
-        top_scores, top_idx = lax.top_k(cand, k)
+        top_scores, top_idx = _exact_topk(cand, k)  # A*nc=672k at nc=80: the sort dominates val
         anchor_idx = top_idx // nc
         cls = (top_idx % nc).astype(jnp.float32)
         cboxes = boxes[anchor_idx]
@@ -74,7 +74,7 @@ def _single_nms(
         cls_best = jnp.argmax(scores, axis=-1).astype(jnp.float32)
         cand = jnp.where(best > conf_thres, best, -1.0)
         k = min(pre_topk, a)
-        top_scores, top_idx = lax.top_k(cand, k)
+        top_scores, top_idx = _exact_topk(cand, k)
         cls = cls_best[top_idx]
         cboxes = boxes[top_idx]
         cand_anchor = top_idx

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from yolo_infer_tpu.ops.nms import _nms_fixpoint, MAX_WH
+from yolo_infer_tpu.ops.nms import _exact_topk, _nms_fixpoint, _on_tpu, MAX_WH
 
 
 def dist2rbox(dist: jnp.ndarray, angle: jnp.ndarray, anchor_points: jnp.ndarray) -> jnp.ndarray:
@@ -96,41 +96,32 @@ def probiou_pairs(b1: jnp.ndarray, b2: jnp.ndarray, eps: float = 1e-7) -> jnp.nd
     return 1.0 - jnp.sqrt(jnp.maximum(1.0 - jnp.exp(-bd), eps))
 
 
-def _single_rotated_nms(rboxes, scores, conf_thres, iou_thres, *, pre_topk, max_det):
-    a, nc = scores.shape
-    best = jnp.max(scores, axis=-1)
-    cls_best = jnp.argmax(scores, axis=-1).astype(jnp.float32)
-    cand = jnp.where(best > conf_thres, best, -1.0)
-    k = min(pre_topk, a)
-    top_scores, top_idx = lax.top_k(cand, k)
-    cls = cls_best[top_idx]
-    cb = rboxes[top_idx]
-    valid = top_scores > 0
-    # class-aware: shift centers apart per class
-    sup = cb.at[:, 0].add(cls * MAX_WH)
-    iou = probiou_matrix(sup, sup)
-    kept = _nms_fixpoint(iou, valid, iou_thres, max_sweeps=k)
-    final = jnp.where(kept, top_scores, -1.0)
-    if k < max_det:
-        pad = max_det - k
-        final = jnp.concatenate([final, jnp.full((pad,), -1.0)])
-        cb = jnp.concatenate([cb, jnp.zeros((pad, 5))])
-        cls = jnp.concatenate([cls, jnp.zeros((pad,))])
-        top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
-    out_scores, sel = lax.top_k(final, max_det)
-    out_valid = out_scores > 0
-    z = jnp.float32(0)
-    return {
-        "boxes": jnp.where(out_valid[:, None], cb[sel], z),  # (max_det, 5) xywhr
-        "scores": jnp.where(out_valid, out_scores, z),
-        "classes": jnp.where(out_valid, cls[sel], -1.0),
-        "valid": out_valid,
-        "num": jnp.sum(out_valid.astype(jnp.int32)),
-        "anchor_idx": jnp.where(out_valid, top_idx[sel], 0).astype(jnp.int32),
-    }
+def rotated_nms_keep_mask(sup: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.ndarray, k: int, impl: str = "auto") -> jnp.ndarray:
+    """Greedy probIoU-NMS keep mask over (B, K, 5) score-sorted candidates.
+
+    On TPU this runs the fused Pallas kernel (pairwise probIoU + fixpoint
+    sweeps VMEM-resident — ops/pallas/nms_fused.py); elsewhere the XLA
+    fixpoint. Both compute the identical keep mask. impl="xla" forces the
+    fixpoint (required under a GSPMD mesh, where a pallas_call has no
+    partitioning rule). Override globally with YOLO_NMS_IMPL=xla | pallas.
+    """
+    import os
+
+    env = os.environ.get("YOLO_NMS_IMPL", "auto")
+    if impl != "xla" and env != "xla" and (env == "pallas" or _on_tpu()):
+        from yolo_infer_tpu.ops.pallas.nms_fused import rotated_nms_keep_pallas
+
+        ca, cb_, cc = _cov(sup)
+        gauss = jnp.stack([sup[..., 0], sup[..., 1], ca, cb_, cc], axis=-1)
+        return rotated_nms_keep_pallas(gauss, valid, iou_thres)
+
+    def one(bx, va):
+        return _nms_fixpoint(probiou_matrix(bx, bx), va, iou_thres, max_sweeps=k)
+
+    return jax.vmap(one)(sup, valid)
 
 
-@partial(jax.jit, static_argnames=("pre_topk", "max_det"))
+@partial(jax.jit, static_argnames=("pre_topk", "max_det", "impl"))
 def batched_rotated_nms(
     rboxes: jnp.ndarray,  # (B, A, 5) xywhr, letterboxed pixels
     scores: jnp.ndarray,  # (B, A, nc)
@@ -139,10 +130,42 @@ def batched_rotated_nms(
     *,
     pre_topk: int = 1024,
     max_det: int = 300,
+    impl: str = "auto",  # "xla" forces sort+fixpoint (meshed serving)
 ) -> Dict[str, jnp.ndarray]:
+    """Single-label rotated NMS, batched end to end (no vmap): exact
+    ApproxTopK candidate selection and the fused Pallas probIoU keep kernel
+    on TPU (see ops.nms._exact_topk / rotated_nms_keep_mask)."""
     conf_thres = jnp.asarray(conf_thres, jnp.float32)
     iou_thres = jnp.asarray(iou_thres, jnp.float32)
-    fn = partial(_single_rotated_nms, pre_topk=pre_topk, max_det=max_det)
-    return jax.vmap(lambda b, s: fn(b, s, conf_thres, iou_thres))(
-        rboxes.astype(jnp.float32), scores.astype(jnp.float32)
-    )
+    rboxes = rboxes.astype(jnp.float32)
+    scores = scores.astype(jnp.float32)
+    b, a, nc = scores.shape
+    best = jnp.max(scores, axis=-1)
+    cls_best = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+    cand = jnp.where(best > conf_thres, best, -1.0)
+    k = min(pre_topk, a)
+    top_scores, top_idx = _exact_topk(cand, k, impl)
+    cls = jnp.take_along_axis(cls_best, top_idx, axis=1)
+    cb = jnp.take_along_axis(rboxes, top_idx[..., None], axis=1)
+    valid = top_scores > 0
+    # class-aware: shift centers apart per class
+    sup = cb.at[..., 0].add(cls * MAX_WH)
+    kept = rotated_nms_keep_mask(sup, valid, iou_thres, k, impl)
+    final = jnp.where(kept, top_scores, -1.0)
+    if k < max_det:
+        pad = max_det - k
+        final = jnp.concatenate([final, jnp.full((b, pad), -1.0)], axis=1)
+        cb = jnp.concatenate([cb, jnp.zeros((b, pad, 5))], axis=1)
+        cls = jnp.concatenate([cls, jnp.zeros((b, pad))], axis=1)
+        top_idx = jnp.concatenate([top_idx, jnp.zeros((b, pad), top_idx.dtype)], axis=1)
+    out_scores, sel = lax.top_k(final, max_det)
+    out_valid = out_scores > 0
+    z = jnp.float32(0)
+    return {
+        "boxes": jnp.where(out_valid[..., None], jnp.take_along_axis(cb, sel[..., None], axis=1), z),  # (B, max_det, 5) xywhr
+        "scores": jnp.where(out_valid, out_scores, z),
+        "classes": jnp.where(out_valid, jnp.take_along_axis(cls, sel, axis=1), -1.0),
+        "valid": out_valid,
+        "num": jnp.sum(out_valid.astype(jnp.int32), axis=1),
+        "anchor_idx": jnp.where(out_valid, jnp.take_along_axis(top_idx, sel, axis=1), 0).astype(jnp.int32),
+    }
