@@ -129,3 +129,24 @@ def test_fused_rotated_nms_kernel_matches_fixpoint(seed):
     )
     np.testing.assert_array_equal(kept_pl, kept_fx)
     assert kept_pl.any() and not kept_pl[~np.asarray(valid)].any()
+
+
+@pytest.mark.parametrize("n,kd,hd,heads", [(400, 32, 64, 2), (64, 16, 32, 1)])
+def test_fused_attention_kernel_matches_xla(n, kd, hd, heads):
+    """attention_fused_pallas == the einsum/dot_general path (C2PSA serving)."""
+    import jax
+
+    from yolo_infer_tpu.ops.pallas.attention_fused import attention_fused_pallas
+
+    rng = np.random.default_rng(0)
+    g = 3 * heads
+    qkv = jnp.asarray(rng.standard_normal((g, n, 2 * kd + hd)).astype(np.float32), jnp.bfloat16)
+    got = np.asarray(attention_fused_pallas(qkv, kd, hd, interpret=True), np.float32)
+
+    q, k, v = qkv[..., :kd], qkv[..., kd : 2 * kd], qkv[..., 2 * kd :]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * (kd ** -0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    want = np.asarray(jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                          preferred_element_type=jnp.float32).astype(jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)

@@ -103,12 +103,13 @@ class Predictor:
         """Model forward, inside a static-quant context when PTQ scales exist."""
         from yolo_infer_tpu.nn.quantize import QuantContext, quant_context
 
+        attn_impl = "xla" if self.mesh is not None else "auto"
         if self.quant_act_scales is not None:
             # (n, 2) in/out pairs -> int8-residency path; legacy (n,) -> static
             mode = "static8" if getattr(self.quant_act_scales, "ndim", 1) == 2 else "static"
             with quant_context(QuantContext(mode, act_scales=self.quant_act_scales)):
-                return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype)
-        return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype)
+                return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype, attn_impl=attn_impl)
+        return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype, attn_impl=attn_impl)
 
     # -- compiled program ---------------------------------------------------
 

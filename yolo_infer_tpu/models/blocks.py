@@ -194,7 +194,28 @@ def init_attention(rng, dim: int, *, num_heads: int, attn_ratio: float = 0.5, dt
     )
 
 
-def apply_attention(p, s, x, *, num_heads: int, attn_ratio: float = 0.5, training: bool = False):
+def _attn_use_pallas(qkv, s, training: bool, impl: str) -> bool:
+    """Fused attention kernel gate: deploy-time inference on TPU only.
+
+    Opt-in only (YOLO_ATTN_IMPL=pallas): measured 2.1x SLOWER than the XLA
+    path on v5e-1 (5.66 vs 2.71 ms standalone at n-scale b128) — per-(batch,
+    head) dots at N=400/d=32 are too small to fill the MXU, while XLA batches
+    all heads into one large GEMM. Kept as a tested, documented alternative
+    for shapes where the attention matrix would not fit VMEM-adjacent HBM
+    budgets. impl="xla" always forces the einsum path (GSPMD mesh, training).
+    """
+    import os
+
+    return (
+        impl != "xla"
+        and os.environ.get("YOLO_ATTN_IMPL") == "pallas"
+        and not training
+        and s is None
+        and isinstance(qkv, jnp.ndarray)
+    )
+
+
+def apply_attention(p, s, x, *, num_heads: int, attn_ratio: float = 0.5, training: bool = False, impl: str = "auto"):
     B, H, W, C = x.shape
     N = H * W
     head_dim = C // num_heads
@@ -203,11 +224,28 @@ def apply_attention(p, s, x, *, num_heads: int, attn_ratio: float = 0.5, trainin
 
     qkv, s1 = apply_conv(p["qkv"], s["qkv"] if s else None, x, act=False, training=training)
     qkv = qkv.reshape(B, N, num_heads, key_dim * 2 + head_dim)
-    q, k, v = jnp.split(qkv, [key_dim, key_dim * 2], axis=-1)
-    attn = jnp.einsum("bind,bjnd->bnij", q, k, preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bnij,bjnd->bind", attn, v).reshape(B, H, W, C)
-    v_spatial = v.reshape(B, H, W, C)
+    if _attn_use_pallas(qkv, s, training, impl):
+        from yolo_infer_tpu.ops.pallas.attention_fused import attention_fused_pallas
+
+        g = B * num_heads
+        qg = qkv.transpose(0, 2, 1, 3).reshape(g, N, key_dim * 2 + head_dim)
+        o = attention_fused_pallas(qg, key_dim, head_dim)
+        out = o.reshape(B, num_heads, N, head_dim).transpose(0, 2, 1, 3).reshape(B, H, W, C)
+    else:
+        q, k, v = jnp.split(qkv, [key_dim, key_dim * 2], axis=-1)
+        # (B*heads, N, d) batched dot_generals: keeping the head axis
+        # interleaved ("bind,bjnd->bnij" einsum) makes XLA materialize
+        # pathological layouts standalone (tools/bench_stem_attn.py).
+        qt = q.transpose(0, 2, 1, 3).reshape(B * num_heads, N, key_dim)
+        kt = k.transpose(0, 2, 1, 3).reshape(B * num_heads, N, key_dim)
+        vt = v.transpose(0, 2, 1, 3).reshape(B * num_heads, N, head_dim)
+        attn = jax.lax.dot_general(qt, kt, (((2,), (2,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jax.lax.dot_general(attn, vt, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(B, num_heads, N, head_dim).transpose(0, 2, 1, 3).reshape(B, H, W, C)
+    v_spatial = qkv[..., 2 * key_dim :].reshape(B, H, W, C)
     pe, s2 = apply_conv(p["pe"], s["pe"] if s else None, v_spatial, act=False, training=training)
     out, s3 = apply_conv(p["proj"], s["proj"] if s else None, out + pe, act=False, training=training)
     return out, ({"qkv": s1, "pe": s2, "proj": s3} if s else s)
@@ -224,8 +262,8 @@ def init_psablock(rng, c: int, *, num_heads: int, dtype=jnp.float32):
     )
 
 
-def apply_psablock(p, s, x, *, num_heads: int, training: bool = False):
-    a, s1 = apply_attention(p["attn"], s["attn"] if s else None, x, num_heads=num_heads, training=training)
+def apply_psablock(p, s, x, *, num_heads: int, training: bool = False, impl: str = "auto"):
+    a, s1 = apply_attention(p["attn"], s["attn"] if s else None, x, num_heads=num_heads, training=training, impl=impl)
     x = q_add(x, a)
     f, s2 = apply_conv(p["ffn1"], s["ffn1"] if s else None, x, training=training)
     f, s3 = apply_conv(p["ffn2"], s["ffn2"] if s else None, f, act=False, training=training)
@@ -246,7 +284,7 @@ def init_c2psa(rng, c1: int, n: int, *, e: float = 0.5, dtype=jnp.float32):
     )
 
 
-def apply_c2psa(p, s, x, *, e: float = 0.5, training: bool = False):
+def apply_c2psa(p, s, x, *, e: float = 0.5, training: bool = False, attn_impl: str = "auto"):
     c1 = x.shape[-1]
     c = int(c1 * e)
     num_heads = max(c // 64, 1)
@@ -254,7 +292,7 @@ def apply_c2psa(p, s, x, *, e: float = 0.5, training: bool = False):
     a, b = q_split_at(y, c, axis=-1)
     sm = []
     for i, mp in enumerate(p["m"]):
-        b, smi = apply_psablock(mp, s["m"][i] if s else None, b, num_heads=num_heads, training=training)
+        b, smi = apply_psablock(mp, s["m"][i] if s else None, b, num_heads=num_heads, training=training, impl=attn_impl)
         sm.append(smi)
     out, s2 = apply_conv(p["cv2"], s["cv2"] if s else None, q_concat([a, b], axis=-1), training=training)
     return out, ({"cv1": s1, "cv2": s2, "m": sm} if s else s)

@@ -86,6 +86,7 @@ def forward(
     *,
     training: bool = False,
     compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",  # "xla" forces einsum attention (meshed serving)
 ) -> Tuple[Any, Optional[State]]:
     """Run the model DAG. `x` is (B, H, W, 3) float in [0, 1].
 
@@ -134,7 +135,7 @@ def forward(
         elif t == "SPPF":
             y, ns = B.apply_sppf(params[key], s, inp, k=layer.kw["k"], training=training)
         elif t == "C2PSA":
-            y, ns = B.apply_c2psa(params[key], s, inp, training=training)
+            y, ns = B.apply_c2psa(params[key], s, inp, training=training, attn_impl=attn_impl)
         elif t == "Upsample":
             from yolo_infer_tpu.nn.quantize import QAct
 
