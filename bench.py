@@ -76,6 +76,8 @@ def main() -> None:
             ri = qm.benchmark(imgsz=imgsz, batch=128, runs=15, warmup=3)
             out["m_int8_fps_b128"] = round(ri["throughput_imgs_per_s"], 1)
             out["m_int8_speedup_b128"] = round(ri["throughput_imgs_per_s"] / r128["throughput_imgs_per_s"], 3)
+            ri32 = qm.benchmark(imgsz=imgsz, batch=32, runs=30, warmup=3)
+            out["m_int8_speedup_b32"] = round(ri32["throughput_imgs_per_s"] / r32["throughput_imgs_per_s"], 3)
             return out
 
         if os.environ.get("BENCH_MATRIX", "1") == "1":

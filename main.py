@@ -46,6 +46,7 @@ class YOLO11CLI:
         d = sub.add_parser("demo", help="run detection demo on image/video/webcam")
         d.add_argument("--input", required=True, help="image/video path, directory, or camera index")
         d.add_argument("--output", default=None)
+        d.add_argument("--task", default="detect", choices=["detect", "segment", "classify", "pose", "obb"])
         d.add_argument("--model-size", default=None, choices=list("nsmlx"))
         d.add_argument("--model-path", default=None)
         d.add_argument("--conf", type=float, default=None)
@@ -144,6 +145,7 @@ class YOLO11CLI:
             conf_threshold=self._pick(args.conf, self._cfg("demo", "conf_threshold"), 0.5),
             iou_threshold=self._pick(args.iou, self._cfg("demo", "iou_threshold"), 0.45),
             imgsz=self._pick(args.imgsz, self._cfg("inference", "imgsz"), 640),
+            task=getattr(args, "task", "detect"),
         )
         src = args.input
         if src.isdigit():

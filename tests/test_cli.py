@@ -114,3 +114,23 @@ def test_demo_video_pipeline(tmp_path, capsys):
     assert summary["total_frames"] == 10
     assert out_path.exists() and out_path.stat().st_size > 0
     assert summary["fps"] > 0
+
+
+def test_demo_task_parity(tmp_path):
+    """reference main.py demo --task parity: every task runs end to end
+    through DetectionDemo with task-aware drawing (draw_results)."""
+    import numpy as np
+
+    from yolo_infer_tpu.demos.detection_demo import DetectionDemo
+
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    for task in ("segment", "classify", "obb"):
+        demo = DetectionDemo(model_size="n", task=task, conf_threshold=0.01, imgsz=160)
+        out = demo.detect_image(img, output_path=str(tmp_path / f"{task}.jpg"))
+        assert out["annotated_image"].shape == img.shape, task
+        assert (tmp_path / f"{task}.jpg").exists(), task
+    try:
+        DetectionDemo(task="nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

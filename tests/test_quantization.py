@@ -151,3 +151,22 @@ def test_pipeline(float_model):
     out = pipe.run()
     assert QuantizationUtils.is_quantized(out)
     assert pipe.results[0]["optimizer"] == "DynamicQuantizer"
+
+
+def test_ptq_serving_all_tasks():
+    """PTQ int8 predict works for every task family (reference quantizes any
+    loaded model via torch backends — parity demands the same coverage)."""
+    import numpy as np
+
+    from yolo_infer_tpu.core.model import YOLO11Model
+    from yolo_infer_tpu.core.predictor import Results
+    from yolo_infer_tpu.optimization.quantization.quantizers import PostTrainingQuantizer
+
+    rng = np.random.default_rng(0)
+    for task in ("seg", "pose", "obb", "cls"):
+        m = YOLO11Model(f"yolo11n-{task}")
+        q = PostTrainingQuantizer(m, {"imgsz": 160})
+        q.set_calibration_data([rng.integers(0, 255, (1, 160, 160, 3), dtype=np.uint8)])
+        qm = q.optimize()
+        r = qm.predict(rng.integers(0, 255, (1, 160, 160, 3), dtype=np.uint8), conf=0.01, imgsz=160)
+        assert isinstance(r, list) and isinstance(r[0], Results), task

@@ -34,6 +34,8 @@ logger = logging.getLogger(__name__)
 class DetectionDemo:
     """Object-detection demo runner over the TPU-native predict pipeline."""
 
+    TASK_SUFFIX = {"detect": "", "segment": "-seg", "classify": "-cls", "pose": "-pose", "obb": "-obb"}
+
     def __init__(
         self,
         model_size: str = "n",
@@ -42,11 +44,16 @@ class DetectionDemo:
         conf_threshold: float = 0.5,
         iou_threshold: float = 0.45,
         imgsz: int = 640,
+        task: str = "detect",  # reference main.py demo --task parity
     ):
+        if task not in self.TASK_SUFFIX:
+            raise ValueError(f"unknown task {task!r}; expected one of {sorted(self.TASK_SUFFIX)}")
         if model_path:
             self.model = YOLO11Model(model_path, device=device)
+            self.task = self.model.task
         else:
-            self.model = YOLO11Factory.create_detector(model_size, device=device)
+            self.model = YOLO11Model(f"yolo11{model_size}{self.TASK_SUFFIX[task]}", device=device)
+            self.task = task
         self.conf_threshold = conf_threshold
         self.iou_threshold = iou_threshold
         self.imgsz = imgsz
@@ -97,6 +104,12 @@ class DetectionDemo:
         import jax.numpy as jnp
 
         from yolo_infer_tpu.ops.letterbox import letterbox
+
+        if self.task != "detect":
+            # non-detect tasks: per-frame predict + task-aware drawing (the
+            # reference's video loop is per-frame for every task as well —
+            # reference demos/detection_demo.py:182-221)
+            return self._video_per_frame(video_path, output_path, display, max_frames)
 
         info = get_video_info(video_path)
         writer = create_video_writer(output_path, info["fps"] or 30.0, (info["width"], info["height"])) if output_path else None
@@ -198,6 +211,42 @@ class DetectionDemo:
         logger.info("video done: %d frames in %.1fs (%.1f fps)", total_frames, elapsed, summary["fps"])
         return summary
 
+    def _video_per_frame(self, video_path, output_path, display, max_frames) -> Dict[str, Any]:
+        import cv2
+
+        info = get_video_info(video_path)
+        writer = create_video_writer(output_path, info["fps"] or 30.0, (info["width"], info["height"])) if output_path else None
+        cap = cv2.VideoCapture(str(video_path))
+        n, total_dets = 0, 0
+        t0 = time.perf_counter()
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok or (max_frames and n >= max_frames):
+                    break
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                result = self.model.predict(rgb, conf=self.conf_threshold, iou=self.iou_threshold, imgsz=self.imgsz)[0]
+                annotated = draw_results(rgb, result)
+                total_dets += len(result)
+                n += 1
+                if writer is not None:
+                    writer.write(cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
+                if display:
+                    self._imshow("video", annotated, wait=1)
+        finally:
+            cap.release()
+            if writer is not None:
+                writer.release()
+        elapsed = time.perf_counter() - t0
+        return {
+            "total_frames": n,
+            "total_detections": total_dets,
+            "processing_time_s": elapsed,
+            "fps": n / elapsed if elapsed > 0 else 0.0,
+            "video_info": info,
+            "output_path": str(output_path) if output_path else None,
+        }
+
     # ---------------------------------------------------------------- webcam
 
     def detect_webcam(self, camera_id: int = 0, display: bool = True, max_frames: Optional[int] = None) -> Dict[str, Any]:
@@ -248,6 +297,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--output", default=None)
     p.add_argument("--model-size", default="n", choices=list("nsmlx"))
     p.add_argument("--model-path", default=None)
+    p.add_argument("--task", default="detect", choices=["detect", "segment", "classify", "pose", "obb"])
     p.add_argument("--conf", type=float, default=0.5)
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--imgsz", type=int, default=640)
@@ -255,7 +305,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--display", action="store_true")
     args = p.parse_args(argv)
 
-    demo = DetectionDemo(args.model_size, args.model_path, conf_threshold=args.conf, iou_threshold=args.iou, imgsz=args.imgsz)
+    demo = DetectionDemo(args.model_size, args.model_path, conf_threshold=args.conf, iou_threshold=args.iou, imgsz=args.imgsz, task=args.task)
     src = args.input
     if src.isdigit():
         out = demo.detect_webcam(int(src), display=args.display)

@@ -77,10 +77,22 @@ def draw_detections(
 
 
 def draw_results(image: np.ndarray, result: Any) -> np.ndarray:
-    """Draw a predictor Results object (boxes + masks + keypoints)."""
+    """Draw a predictor Results object for any task (boxes + masks +
+    keypoints + oriented boxes + classification label)."""
+    import cv2
+
     out = image
+    if getattr(result, "probs", None) is not None:
+        top = int(np.argmax(result.probs))
+        name = result.names.get(top, str(top))
+        out = out.copy()
+        cv2.putText(out, f"{name} {float(result.probs[top]):.2f}", (10, 30),
+                    0, 1.0, (255, 255, 255), 2, cv2.LINE_AA)
+        return out
     if result.masks is not None and len(result.masks):
         out = draw_segmentation_masks(out, result.masks, result.classes)
+    if getattr(result, "obb", None) is not None and len(result.obb):
+        return draw_obb(out, result.obb, result.scores, result.classes, result.names)
     out = draw_detections(out, result.boxes, result.scores, result.classes, result.names)
     if result.keypoints is not None and len(result.keypoints):
         out = draw_keypoints(out, result.keypoints)
