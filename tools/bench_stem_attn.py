@@ -14,6 +14,17 @@ Attention variants (C=128 attn width, heads=2, key_dim 32, N=400, b128):
   attn_nhd    — (B*heads) flattened batched dot_general layout
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_stem_attn.py
+
+MEASURED (v5e-1, b128):
+  stem: pair_base 4.77 ms (conv0 alone 4.14, conv1 2.30 standalone);
+    s2d conv0-only 5.29, s2d both 6.63 — every rewrite LOSES to XLA's
+    batch-in-lanes VPU emitter. Also measured (tools/probe_stem_toeplitz.py,
+    /tmp probes): channel-pad to 4 = 9.63, to 8 = 6.01, f32 = 5.33,
+    NCHW = 4.77, Toeplitz 3-GEMM = 25.3. conv0 stands at XLA's floor.
+  attention: base einsum 32.4 ms STANDALONE (layout artifact of the isolated
+    jit — in-model XLA picks good layouts), bf16-matrix 23.2, flattened
+    (B*heads, N, d) dot_general 2.05 ms exact. The flat layout is production;
+    in-model e2e is unchanged (XLA already handled the fused case).
 """
 
 import json
