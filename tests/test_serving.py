@@ -54,3 +54,33 @@ def test_qat_training_smoke(tmp_path):
     out = YOLO11Trainer(model=model, config=cfg).train()
     assert out["status"] == "completed"
     assert out["skipped_steps"] == 0  # fake-quant must stay finite
+
+
+def test_predict_many_pipelined_matches_predict():
+    """Chunked pipelined prediction == single-batch prediction, including the
+    repeat-padded final chunk and the heterogeneous-size letterbox path."""
+    import numpy as np
+
+    from yolo_infer_tpu.core.model import YOLO11Model
+
+    rng = np.random.default_rng(0)
+    m = YOLO11Model("yolo11n")
+    imgs = [rng.integers(0, 255, (160, 160, 3), dtype=np.uint8) for _ in range(10)]
+
+    many = m.predictor.predict_many(imgs, conf=0.01, imgsz=160, batch_size=4)
+    assert len(many) == 10
+    ref = m.predictor.predict(imgs[:4], conf=0.01, imgsz=160)
+    for a, b in zip(many[:4], ref):
+        np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-4)
+        np.testing.assert_array_equal(a.classes, b.classes)
+    # exactly one compiled signature serves all chunks
+    assert len({k[0] for k in m.predictor._cache}) == 1
+
+    # heterogeneous sizes route through host letterbox, still one signature
+    mixed = imgs[:3] + [rng.integers(0, 255, (120, 200, 3), dtype=np.uint8) for _ in range(3)]
+    out = m.predictor.predict_many(mixed, conf=0.01, imgsz=160, batch_size=4)
+    assert len(out) == 6 and out[-1].orig_shape == (120, 200)
+
+    # model.predict routes batch= through the chunked path
+    out2 = m.predict(imgs, conf=0.01, imgsz=160, batch=4)
+    assert len(out2) == 10

@@ -196,9 +196,15 @@ class YOLO11Model:
         iou: float = 0.45,
         imgsz: int = 640,
         max_det: int = 300,
+        batch: Optional[int] = None,
         **kw,
     ) -> List[Results]:
-        """Run inference on an image path / dir / array / list of arrays."""
+        """Run inference on an image path / dir / array / list of arrays.
+
+        Large lists/directories stream through the pipelined chunked path
+        (one compiled signature, uploads overlapped with compute) instead of
+        one giant batch; `batch` overrides the chunk size.
+        """
         if isinstance(source, (str, Path)):
             p = Path(source)
             if p.is_dir():
@@ -207,6 +213,11 @@ class YOLO11Model:
                 images = load_image(p)
         else:
             images = source
+        if isinstance(images, (list, tuple)) and (batch is not None or len(images) > 64):
+            return self.predictor.predict_many(
+                images, conf=conf, iou=iou, imgsz=imgsz, max_det=max_det,
+                batch_size=batch or 32, **kw,
+            )
         return self.predictor.predict(images, conf=conf, iou=iou, imgsz=imgsz, max_det=max_det, **kw)
 
     # ------------------------------------------------------------- train / val

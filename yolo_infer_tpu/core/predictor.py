@@ -228,11 +228,23 @@ class Predictor:
         dets = run(self.params, self._place_batch(jnp.asarray(batch_np)), self._dev_scalar(conf), self._dev_scalar(iou))
         dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)
         dt = (time.perf_counter() - t0) * 1000
-
-        results: List[Results] = []
         orig_shapes = shapes_orig if host_lb is not None else shapes
+        return self._postprocess(dets, orig_shapes, host_lb, imgsz, dt)
+
+    def _postprocess(
+        self,
+        dets: Dict[str, np.ndarray],
+        orig_shapes: List[Tuple[int, int]],
+        host_lb: Optional[List[Tuple[float, Tuple[float, float]]]],
+        imgsz: int,
+        dt: float,
+    ) -> List[Results]:
+        """Host-side assembly of Results from a synced fixed-shape dets dict."""
+        results: List[Results] = []
+        batch_n = len(orig_shapes)
+        shapes = [(imgsz, imgsz)] * batch_n if host_lb is not None else orig_shapes
         if self.spec.task == "classify":
-            for i in range(batch_np.shape[0]):
+            for i in range(batch_n):
                 results.append(
                     Results(
                         boxes=np.zeros((0, 4), np.float32),
@@ -241,14 +253,14 @@ class Predictor:
                         orig_shape=orig_shapes[i],
                         names=self.names,
                         probs=dets["probs"][i],
-                        speed={"inference": dt / batch_np.shape[0]},
+                        speed={"inference": dt / batch_n},
                     )
                 )
             return results
 
         if host_lb is None:
             ratio0, pad0, _ = letterbox_params(shapes[0], imgsz)
-        for i in range(batch_np.shape[0]):
+        for i in range(batch_n):
             ratio, pad = host_lb[i] if host_lb is not None else (ratio0, pad0)
             shapes_i = orig_shapes[i]
             n = int(dets["num"][i])
@@ -286,9 +298,73 @@ class Predictor:
                     keypoints=kpts,
                     masks=masks,
                     obb=obb,
-                    speed={"inference": dt / batch_np.shape[0]},
+                    speed={"inference": dt / batch_n},
                 )
             )
+        return results
+
+    def predict_many(
+        self,
+        images: Sequence[np.ndarray],
+        conf: float = 0.25,
+        iou: float = 0.45,
+        imgsz: int = 640,
+        batch_size: int = 32,
+        multi_label: bool = False,
+        max_det: Optional[int] = None,
+        pipeline_depth: int = 2,
+    ) -> List[Results]:
+        """Chunked, pipelined prediction over a large image list.
+
+        One compiled (batch_size, ...) signature serves the whole list: the
+        last chunk is padded by repetition and trimmed after. Up to
+        `pipeline_depth` device batches stay in flight while the host
+        postprocesses drained ones — upload, compute, and Results assembly
+        overlap (the video demo's pipeline, generalized to the library
+        surface; the reference's DataLoader loop is synchronous per batch).
+        """
+        import collections
+
+        shapes = [tuple(im.shape[:2]) for im in images]
+        host_lb: Optional[List[Tuple[float, Tuple[float, float]]]] = None
+        if len(set(shapes)) != 1:
+            from yolo_infer_tpu.ops.letterbox import letterbox
+
+            lb = [letterbox(im, imgsz) for im in images]
+            images = [l[0] for l in lb]
+            host_lb = [(l[1], l[2]) for l in lb]
+            shapes_orig, shapes = shapes, [(imgsz, imgsz)] * len(lb)
+        else:
+            shapes_orig = shapes
+
+        md = max_det or self.max_det
+        n = len(images)
+        run = self._get(batch_size, shapes[0], imgsz, multi_label, md)
+        conf_d, iou_d = self._dev_scalar(conf), self._dev_scalar(iou)
+
+        results: List[Results] = []
+        pending: "collections.deque" = collections.deque()
+
+        def drain_one():
+            dets, lo, hi, t0 = pending.popleft()
+            dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)  # sync
+            dt = (time.perf_counter() - t0) * 1000
+            chunk_lb = host_lb[lo:hi] if host_lb is not None else None
+            out = self._postprocess(dets, shapes_orig[lo:hi] + [shapes_orig[hi - 1]] * (batch_size - (hi - lo)),
+                                    None if chunk_lb is None else chunk_lb + [chunk_lb[-1]] * (batch_size - (hi - lo)),
+                                    imgsz, dt)
+            results.extend(out[: hi - lo])
+
+        for lo in range(0, n, batch_size):
+            hi = min(lo + batch_size, n)
+            chunk = list(images[lo:hi]) + [images[hi - 1]] * (batch_size - (hi - lo))
+            t0 = time.perf_counter()
+            dets = run(self.params, self._place_batch(jnp.asarray(np.stack(chunk))), conf_d, iou_d)
+            pending.append((dets, lo, hi, t0))  # device runs while host drains
+            if len(pending) > pipeline_depth:
+                drain_one()
+        while pending:
+            drain_one()
         return results
 
     def predict_raw(self, images_u8: jnp.ndarray, conf: float, iou: float, imgsz: int, *, multi_label=False, max_det=None, pre_topk=None):
