@@ -90,6 +90,8 @@ def main() -> None:
     for path in sorted(glob.glob("BENCH_r*.json"), key=lambda p: int(re.search(r"r(\d+)", p).group(1))):
         try:
             data = json.loads(open(path).read())
+            if isinstance(data, dict) and "parsed" in data and isinstance(data["parsed"], dict):
+                data = data["parsed"]  # driver wraps the bench line under "parsed"
             if isinstance(data, dict) and "value" in data:
                 prev = float(data["value"])
         except Exception:
