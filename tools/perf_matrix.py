@@ -96,7 +96,11 @@ def main():
             def f_fwd(p, imgs):
                 x = preprocess_batch(imgs, out_hw=(imgsz, imgsz), dtype=jnp.bfloat16)
                 out, _ = forward(p, None, spec, x, compute_dtype=jnp.bfloat16)
-                return out["feats"][0]
+                # return EVERY feat level: returning only feats[0] lets XLA
+                # dead-code-eliminate the P4/P5 head branches, inflating the
+                # apparent decode tail by the eliminated head compute
+                # (~8 ms at m/b128 — tools /tmp/m_tail_probe round 2)
+                return [jnp.sum(f.astype(jnp.float32)) for f in out["feats"]]
 
             @jax.jit
             def f_full(p, imgs):
