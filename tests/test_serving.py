@@ -84,3 +84,12 @@ def test_predict_many_pipelined_matches_predict():
     # model.predict routes batch= through the chunked path
     out2 = m.predict(imgs, conf=0.01, imgsz=160, batch=4)
     assert len(out2) == 10
+
+
+def test_predict_empty_list_returns_empty():
+    import numpy as np
+
+    from yolo_infer_tpu.core.model import YOLO11Model
+
+    m = YOLO11Model("yolo11n")
+    assert m.predict([], imgsz=160) == []

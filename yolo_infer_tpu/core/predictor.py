@@ -198,6 +198,8 @@ class Predictor:
         max_det: Optional[int] = None,
     ) -> List[Results]:
         """images: uint8 RGB HWC array(s). Returns one Results per image."""
+        if not isinstance(images, np.ndarray) and len(images) == 0:
+            return []  # empty directory / list
         single = isinstance(images, np.ndarray) and images.ndim == 3
         if single:
             images = [images]
