@@ -87,7 +87,8 @@ def main() -> None:
 
     # vs_baseline: ratio to the most recent recorded round, else 1.0
     prev = None
-    for path in sorted(glob.glob("BENCH_r*.json"), key=lambda p: int(re.search(r"r(\d+)", p).group(1))):
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=lambda p: int(re.search(r"r(\d+)", p).group(1))):
         try:
             data = json.loads(open(path).read())
             if isinstance(data, dict) and "parsed" in data and isinstance(data["parsed"], dict):
