@@ -85,6 +85,28 @@ def main() -> None:
             if isinstance(extras.get("matrix"), dict):
                 extras.update(extras.pop("matrix"))
 
+        def _x_int8():
+            # int8's headline: the HBM-bound regime (yolo11x b128 is slower
+            # than b32 in bf16; int8 residency un-crosses the cliff — 1.72x)
+            import numpy as np
+
+            from yolo_infer_tpu.optimization.quantization.quantizers import PostTrainingQuantizer
+
+            x = YOLO11Model("yolo11x")
+            rb = x.benchmark(imgsz=imgsz, batch=128, runs=8, warmup=2)
+            q = PostTrainingQuantizer(x, {"imgsz": imgsz})
+            rng = np.random.default_rng(0)
+            q.set_calibration_data([rng.integers(0, 255, (2, imgsz, imgsz, 3), dtype=np.uint8)])
+            ri = q.optimize().benchmark(imgsz=imgsz, batch=128, runs=8, warmup=2)
+            return {"x_fps_b128": round(rb["throughput_imgs_per_s"], 1),
+                    "x_int8_fps_b128": round(ri["throughput_imgs_per_s"], 1),
+                    "x_int8_speedup_b128": round(ri["throughput_imgs_per_s"] / rb["throughput_imgs_per_s"], 3)}
+
+        if os.environ.get("BENCH_X_INT8", "1") == "1":
+            _try("x_int8", _x_int8)
+            if isinstance(extras.get("x_int8"), dict):
+                extras.update(extras.pop("x_int8"))
+
     # vs_baseline: ratio to the most recent recorded round, else 1.0
     prev = None
     here = os.path.dirname(os.path.abspath(__file__))
