@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real TPU (yolo11{n,m} @640, b16/b32).
+
+Measures the jitted step — bf16 forward, TAL assign, CIoU/DFL/BCE losses,
+f32 grads, global-norm clip, finite guard, optax update, EMA — on synthetic
+batches, with real device sync. Complements the inference PERF_MATRIX
+(training throughput was previously unmeasured on hardware).
+
+PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train_step.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def sync(x):
+    import jax
+
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:1]))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from yolo_infer_tpu.core.train_step import TrainState, make_train_step
+    from yolo_infer_tpu.models.yolo11 import build_model
+
+    imgsz = int(os.environ.get("IMGSZ", "640"))
+    rng = np.random.default_rng(0)
+    res = []
+    for size in os.environ.get("SIZES", "n,m").split(","):
+        params, state, spec = build_model(jax.random.PRNGKey(0), task="detect", size=size, nc=80)
+        tx = optax.sgd(1e-3, momentum=0.9)
+        step = make_train_step(spec, tx)
+        for b in (int(x) for x in os.environ.get("BATCHES", "16,32").split(",")):
+            m = 32  # max GT boxes
+            batch = {
+                "images": jnp.asarray(rng.random((b, imgsz, imgsz, 3), np.float32)),
+                "boxes": jnp.asarray(rng.uniform(0, imgsz, (b, m, 4)).astype(np.float32)),
+                "classes": jnp.asarray(rng.integers(0, 80, (b, m)).astype(np.float32)),
+                "mask": jnp.asarray(np.ones((b, m), np.float32)),
+            }
+            ts = TrainState(
+                params=params, bn_state=state, opt_state=tx.init(params),
+                ema_params=jax.tree_util.tree_map(jnp.copy, params),
+                step=jnp.int32(0), skipped=jnp.int32(0), spec=spec, tx=tx,
+                rng=jax.random.PRNGKey(0),
+            )
+            t0 = time.perf_counter()
+            ts, metrics = step(ts, batch)
+            sync(metrics)
+            compile_s = time.perf_counter() - t0
+            for _ in range(3):
+                ts, metrics = step(ts, batch)
+            sync(metrics)
+            runs = 15
+            t0 = time.perf_counter()
+            for _ in range(runs):
+                ts, metrics = step(ts, batch)
+            sync(metrics)
+            ms = (time.perf_counter() - t0) / runs * 1e3
+            row = {"size": size, "batch": b, "train_step_ms": round(ms, 2),
+                   "train_imgs_per_s": round(b / ms * 1e3, 1), "compile_s": round(compile_s, 1),
+                   "loss_finite": bool(np.isfinite(float(metrics["loss"])))}
+            res.append(row)
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"imgsz": imgsz, "rows": res}))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
