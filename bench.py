@@ -21,9 +21,14 @@ import sys
 
 
 def main() -> None:
+    import time
+
     import jax
 
     from yolo_infer_tpu.core.model import YOLO11Model
+
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))  # extras stop past this; the headline line ALWAYS prints
 
     size = os.environ.get("BENCH_SIZE", "n")
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
@@ -46,6 +51,9 @@ def main() -> None:
     }
 
     def _try(name, fn):
+        if time.perf_counter() - t_start > budget_s:
+            extras.setdefault("extras_skipped_budget", []).append(name)
+            return
         try:
             extras[name] = fn()
         except Exception as e:  # noqa: BLE001 — extras must not sink the headline
