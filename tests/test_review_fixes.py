@@ -104,3 +104,50 @@ def test_transfer_learn_separate_run_dirs(tmp_path):
     assert out["status"] == "completed"
     assert (tmp_path / "runs" / "tl_phase1").exists()
     assert (tmp_path / "runs" / "tl_phase2").exists()
+
+
+# ---- round-3 advisor findings (ADVICE.md round 2) ---------------------------
+
+
+def test_predict_many_empty_list(tiny_deploy):
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    params, spec = tiny_deploy
+    p = Predictor(params, spec, compute_dtype=jnp.float32)
+    assert p.predict_many([]) == []
+
+
+def test_model_predict_empty_list_with_batch():
+    from yolo_infer_tpu.core.model import YOLO11Model
+
+    m = YOLO11Model("yolo11n", compute_dtype=jnp.float32)
+    assert m.predict([], batch=4) == []
+
+
+def test_model_predict_stacked_ndarray_honors_batch():
+    """A 4D stacked batch + explicit `batch` routes through the chunked path."""
+    from yolo_infer_tpu.core.model import YOLO11Model
+
+    m = YOLO11Model("yolo11n", compute_dtype=jnp.float32)
+    imgs = np.random.default_rng(0).integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    res = m.predict(imgs, conf=0.001, imgsz=64, batch=2)
+    assert len(res) == 4
+
+
+def test_nms_impl_env_pallas_works_on_cpu(monkeypatch):
+    """YOLO_NMS_IMPL=pallas on a non-TPU backend runs in interpret mode and
+    matches the XLA fixpoint (advisor: it used to fail to lower)."""
+    from yolo_infer_tpu.ops.nms import nms_keep_mask
+
+    rng = np.random.default_rng(7)
+    k = 64
+    xy = rng.uniform(0, 80, (1, k, 2)).astype(np.float32)
+    wh = rng.uniform(8, 40, (1, k, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], axis=-1))
+    valid = jnp.ones((1, k), bool)
+    thr = jnp.float32(0.5)
+    monkeypatch.setenv("YOLO_NMS_IMPL", "xla")
+    ref = np.asarray(nms_keep_mask(boxes, valid, thr, k))
+    monkeypatch.setenv("YOLO_NMS_IMPL", "pallas")
+    got = np.asarray(nms_keep_mask(boxes, valid, thr, k))
+    np.testing.assert_array_equal(ref, got)

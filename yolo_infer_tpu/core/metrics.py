@@ -30,21 +30,30 @@ def box_iou_np(a: np.ndarray, b: np.ndarray, eps: float = 1e-7) -> np.ndarray:
 
 
 def match_from_iou(iou: np.ndarray, iou_thresholds: np.ndarray = IOU_THRESHOLDS) -> np.ndarray:
-    """Greedy TP matrix (N, T) from a (class-gated) pred-x-gt IoU matrix,
-    predictions assumed sorted by confidence descending."""
+    """TP matrix (N, T) from a (class-gated) pred-x-gt IoU matrix, predictions
+    sorted by confidence descending.
+
+    Reproduces the ultralytics val engine's matching order bit-for-bit (the
+    reference's accuracy authority — reference core/validator.py:339-361):
+    candidate pairs sorted by IoU descending, deduplicated per-pred then
+    per-gt with np.unique. The np.unique re-ordering side effect is part of
+    the protocol: after the pred dedup the pairs sit in pred-index order, so
+    the gt dedup is confidence-greedy. Cross-checked against the independent
+    brute-force oracle in core.ap_oracle (tests/test_ap_oracle.py)."""
     n, m = iou.shape
     t = len(iou_thresholds)
     tp = np.zeros((n, t), dtype=bool)
     if n == 0 or m == 0:
         return tp
+    iou_gp = iou.T  # ultralytics operates on (gt, pred)
     for ti, thr in enumerate(iou_thresholds):
-        taken = np.zeros(m, dtype=bool)
-        for i in range(n):
-            cand = np.where((iou[i] >= thr) & ~taken)[0]
-            if len(cand):
-                j = cand[np.argmax(iou[i, cand])]
-                taken[j] = True
-                tp[i, ti] = True
+        matches = np.argwhere(iou_gp >= thr)  # (k, 2): [gt, pred]
+        if matches.shape[0]:
+            if matches.shape[0] > 1:
+                matches = matches[iou_gp[matches[:, 0], matches[:, 1]].argsort()[::-1]]
+                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+            tp[matches[:, 1], ti] = True
     return tp
 
 
@@ -110,14 +119,16 @@ def oks_matrix(
 
 
 def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
-    """101-point interpolated AP (COCO convention: step interpolation —
-    precision at recall r is the max precision achieved at any recall >= r)."""
+    """AP via the ultralytics 'interp' method: trapezoidal integration of the
+    precision envelope interpolated at 101 recall points. This is what the
+    reference's val engine reports (its box.map numbers); the strict COCO
+    step-sampled variant lives in core.ap_oracle and differs by <~0.01."""
     mrec = np.concatenate([[0.0], recall, [1.0]])
     mpre = np.concatenate([[1.0], precision, [0.0]])
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))  # precision envelope
     x = np.linspace(0, 1, 101)
-    idx = np.minimum(np.searchsorted(mrec, x, side="left"), len(mpre) - 1)
-    return float(mpre[idx].mean())
+    trapz = getattr(np, "trapezoid", None) or np.trapz
+    return float(trapz(np.interp(x, mrec, mpre), x))
 
 
 class ConfusionMatrix:
@@ -250,7 +261,7 @@ class DetMetrics:
                 continue
             tpc = tp[mask].cumsum(axis=0)  # (Nc, T)
             fpc = (~tp[mask]).cumsum(axis=0)
-            recall = tpc / n_gt
+            recall = tpc / (n_gt + 1e-16)  # ultralytics ap_per_class eps
             precision = tpc / np.maximum(tpc + fpc, 1e-9)
             for ti in range(t):
                 ap[ci, ti] = compute_ap(recall[:, ti], precision[:, ti])

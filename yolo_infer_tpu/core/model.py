@@ -213,6 +213,10 @@ class YOLO11Model:
                 images = load_image(p)
         else:
             images = source
+        if isinstance(images, np.ndarray) and images.ndim == 4 and batch is not None:
+            # stacked batch + explicit chunk size: route through the chunked
+            # pipeline too (docstring contract: `batch` overrides chunk size)
+            images = list(images)
         if isinstance(images, (list, tuple)) and (batch is not None or len(images) > 64):
             return self.predictor.predict_many(
                 images, conf=conf, iou=iou, imgsz=imgsz, max_det=max_det,

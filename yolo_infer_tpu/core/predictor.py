@@ -324,9 +324,16 @@ class Predictor:
         postprocesses drained ones — upload, compute, and Results assembly
         overlap (the video demo's pipeline, generalized to the library
         surface; the reference's DataLoader loop is synchronous per batch).
+
+        Note on `Results.speed`: each chunk's "inference" time is pipelined
+        wall-clock (dispatch to drain), so it includes queue wait behind up
+        to `pipeline_depth` in-flight chunks — it measures pipeline
+        throughput, not single-batch latency (use `predict` for latency).
         """
         import collections
 
+        if not images:
+            return []
         shapes = [tuple(im.shape[:2]) for im in images]
         host_lb: Optional[List[Tuple[float, Tuple[float, float]]]] = None
         if len(set(shapes)) != 1:
@@ -363,7 +370,7 @@ class Predictor:
             t0 = time.perf_counter()
             dets = run(self.params, self._place_batch(jnp.asarray(np.stack(chunk))), conf_d, iou_d)
             pending.append((dets, lo, hi, t0))  # device runs while host drains
-            if len(pending) > pipeline_depth:
+            if len(pending) >= pipeline_depth:
                 drain_one()
         while pending:
             drain_one()

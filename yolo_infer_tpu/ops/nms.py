@@ -172,7 +172,10 @@ def nms_keep_mask(sup_boxes: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.nda
     elsewhere the XLA fixpoint. Both compute the identical keep mask.
     impl="xla" forces the fixpoint — required under a GSPMD mesh, where a
     pallas_call has no partitioning rule and would be replicated per chip.
-    Override globally with YOLO_NMS_IMPL=xla | pallas.
+    Override globally with YOLO_NMS_IMPL=xla | pallas (on non-TPU backends
+    `pallas` runs the kernel in interpret mode). Both the env var and the
+    backend probe are read at TRACE time: once a jitted caller has compiled,
+    toggling the env has no effect until a fresh signature recompiles.
     """
     import os
 
@@ -180,7 +183,7 @@ def nms_keep_mask(sup_boxes: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.nda
     if impl != "xla" and env != "xla" and (env == "pallas" or _on_tpu()):
         from yolo_infer_tpu.ops.pallas.nms_fused import nms_keep_pallas
 
-        return nms_keep_pallas(sup_boxes, valid, iou_thres)
+        return nms_keep_pallas(sup_boxes, valid, iou_thres, interpret=not _on_tpu())
 
     def one(bx, va):
         return _nms_fixpoint(box_iou_matrix(bx, bx), va, iou_thres, max_sweeps=k)

@@ -103,7 +103,10 @@ def rotated_nms_keep_mask(sup: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.n
     sweeps VMEM-resident — ops/pallas/nms_fused.py); elsewhere the XLA
     fixpoint. Both compute the identical keep mask. impl="xla" forces the
     fixpoint (required under a GSPMD mesh, where a pallas_call has no
-    partitioning rule). Override globally with YOLO_NMS_IMPL=xla | pallas.
+    partitioning rule). Override globally with YOLO_NMS_IMPL=xla | pallas
+    (on non-TPU backends `pallas` runs in interpret mode). Env var and
+    backend probe are read at TRACE time — toggling after compile has no
+    effect on cached signatures.
     """
     import os
 
@@ -113,7 +116,7 @@ def rotated_nms_keep_mask(sup: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.n
 
         ca, cb_, cc = _cov(sup)
         gauss = jnp.stack([sup[..., 0], sup[..., 1], ca, cb_, cc], axis=-1)
-        return rotated_nms_keep_pallas(gauss, valid, iou_thres)
+        return rotated_nms_keep_pallas(gauss, valid, iou_thres, interpret=not _on_tpu())
 
     def one(bx, va):
         return _nms_fixpoint(probiou_matrix(bx, bx), va, iou_thres, max_sweeps=k)
