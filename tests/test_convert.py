@@ -95,13 +95,15 @@ def test_segment_parity(tmp_path):
         np.testing.assert_allclose(t_lvl.numpy().transpose(0, 2, 3, 1), np.asarray(j_lvl), atol=2e-4, rtol=1e-3)
 
 
-# VERDICT #4 / SURVEY hard-part 6: conversion fidelity across the task x size
-# matrix. Each case saves an ultralytics-named torch checkpoint, converts it,
-# and asserts forward-parity on every head output (feats + task extras).
+# SURVEY hard-part 6: conversion fidelity across the FULL 5x5 task x size
+# matrix (VERDICT r2 next-step 1b: all 25 combos). Each case saves an
+# ultralytics-named torch checkpoint, converts it, and asserts forward-parity
+# on every head output (feats + task extras). l/x add ~1 min each cold; the
+# persistent compile cache makes warm reruns cheap.
 _EXTRA_KEYS = {"detect": (), "segment": ("mc",), "pose": ("kpts",), "obb": ("angle",)}
 
 
-@pytest.mark.parametrize("size", ["n", "s", "m"])
+@pytest.mark.parametrize("size", ["n", "s", "m", "l", "x"])
 @pytest.mark.parametrize("task", ["detect", "segment", "classify", "pose", "obb"])
 def test_task_size_parity(task, size, tmp_path):
     torch.manual_seed(hash((task, size)) % (2**31))
