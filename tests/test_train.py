@@ -169,3 +169,69 @@ def test_training_config_roundtrip(tmp_path):
     cfg.save(p)
     cfg2 = TrainingConfig.load(p)
     assert cfg2 == cfg
+
+
+def test_warmup_mirrors_reference_interp():
+    """make_optimizer must reproduce the reference's warmup loop exactly
+    (reference robust_trainer.py:386-396): per-group lr via np.interp (bias
+    group ramps DOWN from warmup_bias_lr=0.1, others up from 0), momentum
+    interpolated 0.8 -> 0.937, torch-SGD nesterov semantics, decoupled-into-
+    gradient weight decay on the 'w' group only. Verified against a plain
+    numpy simulation of the torch update rule."""
+    import numpy as np
+    import optax
+
+    from yolo_infer_tpu.core.train_step import make_optimizer
+
+    lr0, lrf, nw, total, wd, mom, wmom, wbias = 0.01, 0.1, 10, 40, 1e-4, 0.937, 0.8, 0.1
+    tx = make_optimizer(lr0, lrf=lrf, total_steps=total, warmup_steps=nw,
+                        momentum=mom, weight_decay=wd, cos_lr=False,
+                        warmup_momentum=wmom, warmup_bias_lr=wbias)
+    rng = np.random.default_rng(0)
+    params = {"0": {"w": rng.normal(0, 1, (3, 3, 4, 8)).astype(np.float32),
+                    "gamma": rng.normal(1, 0.1, (8,)).astype(np.float32),
+                    "beta": rng.normal(0, 0.1, (8,)).astype(np.float32)},
+              "23": {"b": rng.normal(0, 0.1, (8,)).astype(np.float32)}}
+    jp = jax.tree_util.tree_map(jnp.asarray, params)
+    state = tx.init(jp)
+
+    # numpy mirror of the reference update rule
+    np_p = {k: {kk: vv.copy() for kk, vv in v.items()} for k, v in params.items()}
+    np_buf = {k: {kk: np.zeros_like(vv) for kk, vv in v.items()} for k, v in params.items()}
+
+    def ref_step(ni, grads):
+        base = lr0 + (lr0 * lrf - lr0) * min(max(ni - nw, 0) / (total - nw), 1.0)  # linear decay
+        m_t = np.interp(ni, [0, nw], [wmom, mom]) if ni <= nw else mom
+        for k, grp in grads.items():
+            for kk, g in grp.items():
+                is_bias = kk in ("b", "beta")
+                lr = np.interp(ni, [0, nw], [wbias if is_bias else 0.0, base]) if ni <= nw else base
+                d = g + (wd * np_p[k][kk] if kk == "w" and g.ndim > 1 else 0.0)
+                np_buf[k][kk] = m_t * np_buf[k][kk] + d
+                np_p[k][kk] = np_p[k][kk] - lr * (d + m_t * np_buf[k][kk])
+
+    for ni in range(14):  # crosses the warmup boundary at ni=10
+        grads = jax.tree_util.tree_map(lambda v: (rng.normal(0, 0.01, v.shape)).astype(np.float32), params)
+        updates, state = tx.update(jax.tree_util.tree_map(jnp.asarray, grads), state, jp)
+        jp = optax.apply_updates(jp, updates)
+        ref_step(ni, grads)
+
+    for k in params:
+        for kk in params[k]:
+            np.testing.assert_allclose(np.asarray(jp[k][kk]), np_p[k][kk], atol=1e-6, rtol=1e-5,
+                                       err_msg=f"{k}/{kk}")
+
+
+def test_warmup_zero_disables():
+    """warmup_steps=0 must behave as plain decayed SGD from step 0 (the
+    reference gates warmup on warmup_epochs > 0)."""
+    from yolo_infer_tpu.core.train_step import make_optimizer
+
+    tx = make_optimizer(0.01, total_steps=10, warmup_steps=0, weight_decay=0.0, cos_lr=False)
+    p = {"0": {"w": jnp.ones((1, 1, 2, 2)), "b": jnp.ones((2,))}}
+    state = tx.init(p)
+    g = jax.tree_util.tree_map(jnp.ones_like, p)
+    updates, _ = tx.update(g, state, p)
+    # first step moves BOTH groups: lr0 * (g + m*g) with buf=g
+    assert float(jnp.abs(updates["0"]["w"]).max()) > 1e-4
+    assert float(jnp.abs(updates["0"]["b"]).max()) > 1e-4

@@ -64,6 +64,70 @@ class TrainState:
         return dataclasses.replace(self, params=params)
 
 
+def _is_bias_leaf(path) -> bool:
+    """ultralytics optimizer group g2: conv biases ('b') and BN betas.
+
+    The reference's warmup treats the bias group specially
+    (robust_trainer.py:386-396: bias lr ramps DOWN from warmup_bias_lr)."""
+    leaf_key = getattr(path[-1], "key", None)
+    return leaf_key in ("b", "beta")
+
+
+def yolo_sgd(
+    base_schedule,  # step -> target lr (lr0 scaled by the decay schedule)
+    *,
+    warmup_steps: int,
+    momentum: float = 0.937,
+    warmup_momentum: float = 0.8,
+    warmup_bias_lr: float = 0.1,
+    nesterov: bool = True,
+) -> optax.GradientTransformation:
+    """torch-SGD semantics with the reference's per-group warmup.
+
+    Mirrors the ultralytics warmup loop the reference re-implements
+    (reference core/robust_trainer.py:386-396) exactly:
+      * bias group lr:   np.interp(ni, [0, nw], [warmup_bias_lr, lr(t)])
+      * other groups lr: np.interp(ni, [0, nw], [0.0, lr(t)])
+      * momentum:        np.interp(ni, [0, nw], [warmup_momentum, momentum])
+    then plain SGD+nesterov (buf = m*buf + g; d = g + m*buf) after step nw.
+    Momentum varies per step, so the buffer update is hand-rolled rather than
+    optax.trace (whose decay is fixed at init).
+    """
+    nw = float(max(warmup_steps, 0))
+
+    def init(params):
+        return {
+            "count": jnp.zeros([], jnp.int32),
+            "mom": jax.tree_util.tree_map(jnp.zeros_like, params),
+        }
+
+    def update(updates, state, params=None):
+        del params
+        t = state["count"].astype(jnp.float32)  # ni: 0-based batch index
+        if nw > 0:
+            frac = jnp.clip(t / nw, 0.0, 1.0)
+            in_warm = t <= nw
+            mom_t = jnp.where(in_warm, warmup_momentum + (momentum - warmup_momentum) * frac, momentum)
+            base = base_schedule(state["count"])
+            lr_other = jnp.where(in_warm, frac * base, base)
+            lr_bias = jnp.where(in_warm, warmup_bias_lr + frac * (base - warmup_bias_lr), base)
+        else:
+            mom_t = momentum
+            lr_other = lr_bias = base_schedule(state["count"])
+        new_mom = jax.tree_util.tree_map(lambda m, g: mom_t * m + g, state["mom"], updates)
+        step_dir = (
+            jax.tree_util.tree_map(lambda g, m: g + mom_t * m, updates, new_mom)
+            if nesterov
+            else new_mom
+        )
+        out = jax.tree_util.tree_map_with_path(
+            lambda path, d: -(lr_bias if _is_bias_leaf(path) else lr_other) * d, step_dir
+        )
+        return out, {"count": state["count"] + 1, "mom": new_mom}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr: float = 0.01,
     *,
@@ -73,26 +137,34 @@ def make_optimizer(
     momentum: float = 0.937,
     weight_decay: float = 5e-4,
     cos_lr: bool = True,
+    warmup_momentum: float = 0.8,
+    warmup_bias_lr: float = 0.1,
     freeze=None,  # Optional[Callable[[top-level layer key], bool]]
 ) -> optax.GradientTransformation:
-    """SGD + nesterov momentum, linear warmup then cosine/linear decay to lr*lrf.
+    """SGD + nesterov momentum with the reference's exact warmup, then
+    cosine/linear decay to lr*lrf.
 
     Mirrors the training capability spec (reference core/trainer.py:589-637:
-    lr0/lrf/momentum/weight_decay/warmup defaults). `freeze` is the
-    functional analog of requires_grad=False (reference trainer.py:383-404):
-    updates for frozen top-level layers are zeroed inside the optimizer.
+    lr0/lrf/momentum/weight_decay/warmup defaults) including per-group warmup
+    (bias lr ramp from warmup_bias_lr, momentum 0.8->0.937 — reference
+    robust_trainer.py:386-396). `freeze` is the functional analog of
+    requires_grad=False (reference trainer.py:383-404): updates for frozen
+    top-level layers are zeroed inside the optimizer. warmup_steps <= 0
+    disables warmup entirely (the reference gates on warmup_epochs > 0).
     """
-    warmup_steps = max(1, min(warmup_steps, max(total_steps - 1, 1)))
+    warmup_steps = min(max(warmup_steps, 0), max(total_steps - 1, 1))
     if cos_lr:
         decay = optax.cosine_decay_schedule(lr, max(total_steps - warmup_steps, 1), alpha=lrf)
     else:
         decay = optax.linear_schedule(lr, lr * lrf, max(total_steps - warmup_steps, 1))
-    schedule = optax.join_schedules(
-        [optax.linear_schedule(0.0, lr, warmup_steps), decay], [warmup_steps]
-    )
+
+    def target_lr(count):
+        # during warmup the interp target is already lr0 (decay starts after)
+        return decay(jnp.maximum(count - warmup_steps, 0))
 
     def decay_mask(params):
-        # weight decay on conv/dense kernels only (not BN scale/bias/biases)
+        # weight decay on conv/dense kernels only (not BN scale/bias/biases),
+        # i.e. ultralytics group g0 (reference trainer groups)
         return jax.tree_util.tree_map_with_path(
             lambda path, x: any(getattr(k, "key", None) == "w" for k in path) and x.ndim > 1, params
         )
@@ -100,7 +172,13 @@ def make_optimizer(
     chain = [
         optax.clip_by_global_norm(10.0),  # YOLO-standard grad clipping
         optax.add_decayed_weights(weight_decay, mask=decay_mask),
-        optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=True),
+        yolo_sgd(
+            target_lr,
+            warmup_steps=warmup_steps,
+            momentum=momentum,
+            warmup_momentum=warmup_momentum,
+            warmup_bias_lr=warmup_bias_lr,
+        ),
     ]
     if freeze is not None:
 

@@ -196,7 +196,9 @@ class YOLO11Trainer:
             )
         steps_per_epoch = len(loader)
         total_steps = steps_per_epoch * cfg.epochs
-        warmup_steps = int(cfg.warmup_epochs * steps_per_epoch)
+        # reference warmup window: max(round(warmup_epochs * nb), 100) batches,
+        # gated on warmup_epochs > 0 (reference robust_trainer.py:383-385)
+        warmup_steps = max(round(cfg.warmup_epochs * steps_per_epoch), 100) if cfg.warmup_epochs > 0 else 0
 
         model = self.model
         if model.nc != train_ds.nc:
@@ -255,12 +257,15 @@ class YOLO11Trainer:
             self.callbacks.fire("on_epoch_start", epoch=epoch)
             t_epoch = time.perf_counter()
             last_metrics: Dict[str, Any] = {}
-            for bi, batch in enumerate(loader.epoch_batches(epoch)):
-                self.callbacks.fire("on_batch_start", epoch=epoch, batch=bi)
-                ts, metrics = step_fn(ts, shard_batch(batch, mesh))
-                self.callbacks.fire("on_batch_end", epoch=epoch, batch=bi, metrics=metrics)
-                if bi == steps_per_epoch - 1 or bi % 50 == 49:
-                    last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            from yolo_infer_tpu.utils.helpers import device_busy
+
+            with device_busy():  # steps queue back-to-back: epoch is device-bound
+                for bi, batch in enumerate(loader.epoch_batches(epoch)):
+                    self.callbacks.fire("on_batch_start", epoch=epoch, batch=bi)
+                    ts, metrics = step_fn(ts, shard_batch(batch, mesh))
+                    self.callbacks.fire("on_batch_end", epoch=epoch, batch=bi, metrics=metrics)
+                    if bi == steps_per_epoch - 1 or bi % 50 == 49:
+                        last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
             epoch_time = time.perf_counter() - t_epoch
             skipped = int(np.asarray(ts.skipped))
             log.info(
