@@ -64,12 +64,21 @@ class Predictor:
         names: Optional[Dict[int, str]] = None,
         quant_act_scales: Optional[jnp.ndarray] = None,  # static PTQ scales
         mesh: Any = None,  # jax Mesh: shard inference batches over 'data'
+        mask_mode: str = "device",  # segment masks: "device" (in-graph
+        # sigmoid+crop+0.5-threshold, bit-packed transfer) or "exact" (host
+        # float path: ultralytics upsample-then-threshold order, soft masks)
     ):
         self.params = params
         self.spec = spec
         self.compute_dtype = compute_dtype
         self.pre_topk = pre_topk
         self.max_det = max_det
+        if mask_mode not in ("device", "exact"):
+            raise ValueError(f"mask_mode must be 'device' or 'exact', got {mask_mode!r}")
+        self.mask_mode = mask_mode
+        from yolo_infer_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()  # second-process compiles load from disk
         self.names = names or dict(COCO_NAMES)
         self.quant_act_scales = quant_act_scales
         self.mesh = mesh
@@ -171,10 +180,20 @@ class Predictor:
             elif spec.task == "segment":
                 b = out["mc"][0].shape[0]
                 mc = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in out["mc"]], axis=1)
-                dets["mask_coefs"] = jnp.take_along_axis(
+                coefs = jnp.take_along_axis(
                     mc, dets["anchor_idx"][..., None], axis=1
                 )  # (B, max_det, nm)
-                dets["proto"] = out["proto"]
+                if self.mask_mode == "device":
+                    from yolo_infer_tpu.ops.masks import assemble_mask_bits
+
+                    # in-graph sigmoid+crop+threshold, bit-packed: 32x less
+                    # transfer than f32 masks and no host matmul (VERDICT r2 #5)
+                    dets["mask_bits"] = assemble_mask_bits(
+                        out["proto"].astype(jnp.float32), coefs, dets["boxes"], imgsz
+                    )
+                else:
+                    dets["mask_coefs"] = coefs
+                    dets["proto"] = out["proto"]
             return dets
 
         return run
@@ -225,10 +244,13 @@ class Predictor:
                 batch_np = np.stack(images, axis=0)
 
         md = max_det or self.max_det
+        from yolo_infer_tpu.utils.helpers import device_busy
+
         t0 = time.perf_counter()
         run = self._get(batch_np.shape[0], shapes[0], imgsz, multi_label, md)
-        dets = run(self.params, self._place_batch(jnp.asarray(batch_np)), self._dev_scalar(conf), self._dev_scalar(iou))
-        dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)
+        with device_busy():  # duty-cycle telemetry (utils.helpers)
+            dets = run(self.params, self._place_batch(jnp.asarray(batch_np)), self._dev_scalar(conf), self._dev_scalar(iou))
+            dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)
         dt = (time.perf_counter() - t0) * 1000
         orig_shapes = shapes_orig if host_lb is not None else shapes
         return self._postprocess(dets, orig_shapes, host_lb, imgsz, dt)
@@ -280,7 +302,22 @@ class Predictor:
                 kpts[..., 0] = (kpts[..., 0] - pad[0]) / ratio
                 kpts[..., 1] = (kpts[..., 1] - pad[1]) / ratio
             masks = None
-            if "mask_coefs" in dets and n > 0:
+            if "mask_bits" in dets and n > 0:
+                import cv2
+
+                from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
+                from yolo_infer_tpu.ops.masks import unpack_mask_bits
+
+                # device mode: unpack the n real bit-packed binary masks,
+                # bilinear-upsample to imgsz, re-threshold (ultralytics
+                # upsamples floats then thresholds; on binary inputs the two
+                # orders differ only on sub-pixel boundary cells)
+                binm = unpack_mask_bits(dets["mask_bits"][i, :n]).astype(np.float32)
+                chans = np.ascontiguousarray(binm.transpose(1, 2, 0))
+                up = cv2.resize(chans, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+                masks = ((up[..., None] if up.ndim == 2 else up) > 0.5).astype(np.float32).transpose(2, 0, 1)
+                masks = crop_letterbox_masks(masks, ratio, pad, shapes_i, downsample=1)
+            elif "mask_coefs" in dets and n > 0:
                 from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
 
                 masks = _assemble_masks(

@@ -111,18 +111,21 @@ class YOLO11Validator:
                 if task_metrics is not None:
                     self._update_task_metrics(task_metrics, ds_task, dets_np, i, k, m, imgsz)
 
+        from yolo_infer_tpu.utils.helpers import device_busy
+
         for batch_data in ds.iter_val_batches(batch_size=batch, imgsz=imgsz):
             t0 = time.perf_counter()
             # pre_topk=4096 for val: at conf=0.001 the multi-label candidate
-            # pool exceeds the serving cap; 4096 is cap-insensitive (mAP shift
-            # <0.05 vs 8192 on dense synthetic GT — tests/test_nms.py)
+            # pool exceeds the serving cap; 4096 is cap-insensitive even when
+            # the pool saturates max_det (tests/test_nms.py dense-regime test)
             dets = predictor.predict_raw(
                 jnp.asarray(batch_data["images"]), conf, iou, imgsz,
                 multi_label=multi_label, max_det=max_det, pre_topk=pre_topk,
             )
             if pending is not None:
                 drain(*pending)  # host matches previous batch while device runs
-            dets_np = {k: np.asarray(v) for k, v in dets.items() if v is not None}
+            with device_busy():  # sync wait = device still computing
+                dets_np = {k: np.asarray(v) for k, v in dets.items() if v is not None}
             infer_time += time.perf_counter() - t0
             pending = (dets_np, batch_data["metas"], batch_data["n"])
             n_images += batch_data["n"]
@@ -179,7 +182,12 @@ class YOLO11Validator:
         if ds_task == "segment":
             polys = m.get("polygons", [])
             gt_masks = polygons_to_instance_masks(polys, m["orig_shape"], m["ratio"], m["pad"], imgsz)
-            if k > 0:
+            if k > 0 and "mask_bits" in dets_np:
+                from yolo_infer_tpu.ops.masks import unpack_mask_bits
+
+                # device path: binary masks computed in-graph (ops/masks.py)
+                pred_masks = unpack_mask_bits(dets_np["mask_bits"][i, :k])
+            elif k > 0:
                 pred_masks = _assemble_masks(
                     dets_np["proto"][i], dets_np["mask_coefs"][i, :k], dets_np["boxes"][i, :k], imgsz
                 ) > 0.5

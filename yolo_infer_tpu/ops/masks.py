@@ -1,0 +1,70 @@
+"""On-device segment mask assembly (VERDICT r2 next-step 5).
+
+The reference's serving path inherits ultralytics ``process_mask``:
+``sigmoid(proto @ coefs)`` cropped to each box. Round 2 ran that per image on
+the host (numpy) — a wall in front of the device's seg throughput. Here the
+whole thing happens inside the jitted program with fixed shapes:
+
+    proto (B, Hm, Wm, nm) + coefs (B, max_det, nm) + boxes (B, max_det, 4)
+    -> binary masks, bit-packed to (B, max_det, Hm, Wm//8) uint8
+
+* threshold-at-0.5 on a sigmoid == logits > 0, so no sigmoid is evaluated;
+* the (max_det, Hm, Wm) f32 intermediate never hits HBM for the whole batch
+  at once: ``lax.map`` over the batch keeps it to one image (300x160x160 f32
+  = 30 MB) while the per-image matmul still feeds the MXU;
+* the bit-pack shrinks the device->host transfer 32x vs f32 masks (0.96 MB
+  per image at 640², vs the 3.2 MB proto tensor the host path pulled).
+
+The host unpacks with ``np.unpackbits`` (MSB-first, matching the pack dot).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_BIT_WEIGHTS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.int32)  # MSB-first
+
+
+def assemble_mask_bits(
+    proto: jnp.ndarray,  # (B, Hm, Wm, nm)
+    coefs: jnp.ndarray,  # (B, max_det, nm)
+    boxes_px: jnp.ndarray,  # (B, max_det, 4) xyxy in letterboxed pixels
+    imgsz: int,
+) -> jnp.ndarray:
+    """Binary cropped instance masks, bit-packed along W. Identical semantics
+    to the host path ``_assemble_masks(...) > 0.5`` at proto resolution
+    (ultralytics process_mask order: sigmoid -> crop; tests/test_masks.py)."""
+    b, hm, wm, nm = proto.shape
+    if wm % 8:
+        raise ValueError(f"proto width {wm} not a multiple of 8 (imgsz must be a multiple of 32)")
+    scale = hm / imgsz
+    ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, :]
+    pw = jnp.asarray(_BIT_WEIGHTS)
+
+    def one(args):
+        p, c, bx = args
+        # (Hm*Wm, nm) @ (nm, max_det) -> transpose: (max_det, Hm, Wm) logits
+        logits = (p.reshape(-1, nm).astype(jnp.float32) @ c.astype(jnp.float32).T).T.reshape(-1, hm, wm)
+        bxs = bx.astype(jnp.float32) * scale
+        keep = (
+            (xs >= bxs[:, 0, None, None])
+            & (xs < bxs[:, 2, None, None])
+            & (ys >= bxs[:, 1, None, None])
+            & (ys < bxs[:, 3, None, None])
+        )
+        binm = (logits > 0) & keep
+        packed = jnp.sum(
+            binm.reshape(-1, hm, wm // 8, 8).astype(jnp.int32) * pw[None, None, None, :], axis=-1
+        )
+        return packed.astype(jnp.uint8)
+
+    return lax.map(one, (proto, coefs, boxes_px))
+
+
+def unpack_mask_bits(packed: np.ndarray) -> np.ndarray:
+    """(..., Hm, Wm//8) uint8 -> (..., Hm, Wm) bool (host side)."""
+    return np.unpackbits(np.asarray(packed, np.uint8), axis=-1).astype(bool)
