@@ -316,6 +316,9 @@ class YOLO11CLI:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from yolo_infer_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # CLI cold starts reuse prior processes' compiles
     return YOLO11CLI().run(argv)
 
 
