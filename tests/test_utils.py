@@ -134,3 +134,30 @@ def test_export_script_stablehlo(tmp_path, monkeypatch):
     assert out.exists()
     text = out.read_text()
     assert "stablehlo" in text or "mhlo" in text or "func.func" in text
+
+
+def test_resource_monitor_duty_cycle():
+    """VERDICT r2 #8: resource samples carry a device_util_percent derived
+    from instrumented device regions (DeviceDutyTracker)."""
+    import time as _time
+
+    from yolo_infer_tpu.utils.helpers import DEVICE_DUTY, ResourceMonitor, device_busy
+
+    mon = ResourceMonitor(interval=0.05)
+    before = DEVICE_DUTY.snapshot()
+    mon.start()
+    with device_busy():
+        _time.sleep(0.2)
+    _time.sleep(0.1)
+    summary = mon.stop()
+    assert DEVICE_DUTY.snapshot() - before >= 0.2
+    assert "avg_device_util_percent" in summary
+    assert summary["max_device_util_percent"] > 10.0  # busy window was sampled
+    assert all(0.0 <= h["device_util_percent"] <= 100.0 for h in mon.history)
+
+
+def test_get_device_info_has_duty_fields():
+    from yolo_infer_tpu.utils.helpers import get_device_info
+
+    info = get_device_info()
+    assert "device_busy_s" in info and info["device_busy_s"] >= 0.0

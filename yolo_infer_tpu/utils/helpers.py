@@ -54,9 +54,52 @@ def get_device_info() -> Dict[str, Any]:
         mem = _device_memory_stats()
         if mem:
             info["device_memory"] = mem
+        # in-process duty cycle floor (instrumented regions; see DeviceDutyTracker)
+        info["device_busy_s"] = round(DEVICE_DUTY.snapshot(), 3)
+        info["device_busy_events"] = DEVICE_DUTY.events
     except Exception as e:  # pragma: no cover
         info["jax_error"] = str(e)
     return info
+
+
+class DeviceDutyTracker:
+    """Steps/s-derived device occupancy (VERDICT r2 #8).
+
+    The axon tunnel exposes no hardware utilization counter (the reference
+    sampled GPU load via GPUtil, reference utils/helpers.py:744-776), so duty
+    cycle is DERIVED: instrumented device regions (predict sync windows,
+    benchmark windows, train steps, val inference) record their wall time
+    here, and ResourceMonitor reports busy-time / wall-time per sample
+    interval. Untracked device work undercounts — the number is a floor."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.busy_s = 0.0
+        self.events = 0
+
+    def record(self, seconds: float) -> None:
+        with self._lock:
+            self.busy_s += max(float(seconds), 0.0)
+            self.events += 1
+
+    def snapshot(self) -> float:
+        with self._lock:
+            return self.busy_s
+
+
+DEVICE_DUTY = DeviceDutyTracker()
+
+
+class device_busy:
+    """Context manager marking a wall-clock window as device-busy."""
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        DEVICE_DUTY.record(time.perf_counter() - self._t0)
+        return False
 
 
 def _device_memory_stats() -> Dict[str, float]:
@@ -292,6 +335,8 @@ class ResourceMonitor:
         self._thread: Optional[threading.Thread] = None
         # probe once: if the backend has no memory_stats, skip per-sample cost
         self._device = bool(sample_device and _device_memory_stats())
+        self._last_busy = DEVICE_DUTY.snapshot()
+        self._last_t = time.perf_counter()
 
     def _sample(self) -> Dict[str, float]:
         import psutil
@@ -303,6 +348,13 @@ class ResourceMonitor:
             "memory_percent": vm.percent,
             "memory_used_gb": vm.used / 1e9,
         }
+        # duty cycle from instrumented device regions (DeviceDutyTracker):
+        # busy wall time since the last sample / interval, capped at 100
+        now = time.perf_counter()
+        busy = DEVICE_DUTY.snapshot()
+        dt = max(now - self._last_t, 1e-9)
+        out["device_util_percent"] = round(min((busy - self._last_busy) / dt, 1.0) * 100.0, 1)
+        self._last_busy, self._last_t = busy, now
         if self._device:
             out.update(_device_memory_stats())
         return out
@@ -328,7 +380,7 @@ class ResourceMonitor:
     def summary(self) -> Dict[str, Any]:
         if not self.history:
             return {}
-        keys = ["cpu_percent", "memory_percent", "memory_used_gb"]
+        keys = ["cpu_percent", "memory_percent", "memory_used_gb", "device_util_percent"]
         if self._device:
             keys += [k for k in ("device_mem_used_gb", "device_mem_percent", "device_mem_peak_gb") if k in self.history[-1]]
         present = [h for h in self.history]
