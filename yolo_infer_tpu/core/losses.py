@@ -133,10 +133,14 @@ def detection_loss(
     pred_boxes_grid = dist2bbox(ltrb, anchor_points[None])  # (B, A, 4) grid units
     pred_boxes_px = pred_boxes_grid * strd[None]
 
-    pd_scores = jax.nn.sigmoid(cls_logits)
+    # assigner runs DETACHED (ultralytics calls it under no_grad with
+    # pred.detach() inputs): targets are constants w.r.t. the backward, and
+    # stop_gradient here prunes the whole (B, M, A) CIoU/align subgraph from
+    # the gradient program — it exists only in the (cheap) forward
+    pd_scores = jax.nn.sigmoid(jax.lax.stop_gradient(cls_logits))
     tgt_bboxes_px, tgt_scores, fg_mask, _tgt_idx = task_aligned_assigner(
         pd_scores,
-        pred_boxes_px,
+        jax.lax.stop_gradient(pred_boxes_px),
         (anchor_points * strd),
         batch["classes"].astype(jnp.int32),
         batch["boxes"].astype(jnp.float32),
@@ -228,7 +232,10 @@ def obb_loss(
     gt_cls = batch["classes"].astype(jnp.int32)
     mask_gt = batch["mask"].astype(bool)
     m = gt.shape[1]
-    pd_scores = jax.nn.sigmoid(cls_logits)
+    # detached assigner, as in detection_loss (ultralytics no_grad semantics);
+    # pred_rbox_px itself keeps grads — the probIoU box loss below needs them
+    pd_scores = jax.nn.sigmoid(jax.lax.stop_gradient(cls_logits))
+    pred_rbox_det = jax.lax.stop_gradient(pred_rbox_px)
 
     # anchors inside rotated gt: rotate anchor into the gt frame
     anc_px = (anchor_points * strd)  # (A, 2)
@@ -241,7 +248,7 @@ def obb_loss(
 
     overlaps = probiou_pairs(
         jnp.broadcast_to(gt[:, :, None, :], (b, m, a, 5)),
-        jnp.broadcast_to(pred_rbox_px[:, None, :, :], (b, m, a, 5)),
+        jnp.broadcast_to(pred_rbox_det[:, None, :, :], (b, m, a, 5)),
     ).clip(0)
     cls_scores = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), gt_cls.clip(0)[:, :, None], axis=1)
     align = (cls_scores ** hyp.get("tal_alpha", 0.5)) * (overlaps ** hyp.get("tal_beta", 6.0))
