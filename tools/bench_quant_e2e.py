@@ -31,17 +31,33 @@ def main():
         q = PostTrainingQuantizer(model, {"imgsz": imgsz})
         q.set_calibration_data([rng.integers(0, 255, (2, imgsz, imgsz, 3), dtype=np.uint8) for _ in range(2)])
         qmodel = q.optimize()
+        weight_only = os.environ.get("WEIGHT_ONLY", "0") == "1"
         for batch in batches:
             bf = model.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=5)
             i8 = qmodel.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=5)
-            print(json.dumps({
+            row = {
                 "size": size, "batch": batch, "imgsz": imgsz,
                 "bf16_fps": round(bf["throughput_imgs_per_s"], 1),
                 "int8_fps": round(i8["throughput_imgs_per_s"], 1),
                 "speedup": round(i8["throughput_imgs_per_s"] / bf["throughput_imgs_per_s"], 3),
                 "bf16_ms": round(bf["avg_time_s"] * 1e3, 2),
                 "int8_ms": round(i8["avg_time_s"] * 1e3, 2),
-            }), flush=True)
+            }
+            if weight_only:
+                # weight-only int8: every conv exempted from int8 residency,
+                # weights stay int8 in HBM and dequantize to bf16 at use —
+                # halves the weight traffic that dominates batch-1 latency
+                # (reference quantization protocol measures b1,
+                # reference benchmarks/speed_benchmark.py:160-163)
+                qmodel.quant_min_channels = 1 << 30
+                qmodel.invalidate()
+                wo = qmodel.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=5)
+                qmodel.quant_min_channels = None
+                qmodel.invalidate()
+                row["wonly_fps"] = round(wo["throughput_imgs_per_s"], 1)
+                row["wonly_ms"] = round(wo["avg_time_s"] * 1e3, 2)
+                row["wonly_speedup"] = round(wo["throughput_imgs_per_s"] / bf["throughput_imgs_per_s"], 3)
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,7 @@ class YOLO11Model:
         self.compute_dtype = compute_dtype
         self._predictor: Optional[Predictor] = None
         self.quant_act_scales = None  # set by PTQ quantization
+        self.quant_min_channels = None  # static8 eligibility override (see Predictor)
 
         path = Path(model_path)
         if path.exists() and path.suffix in (".msgpack", ".ckpt"):
@@ -153,6 +154,7 @@ class YOLO11Model:
             self._predictor = Predictor(
                 self.deploy_params, self.spec, compute_dtype=self.compute_dtype, names=self.names,
                 quant_act_scales=self.quant_act_scales,
+                quant_min_channels=getattr(self, "quant_min_channels", None),
             )
         return self._predictor
 
@@ -178,6 +180,7 @@ class YOLO11Model:
         obj.compute_dtype = compute_dtype
         obj._predictor = None
         obj.quant_act_scales = quant_act_scales
+        obj.quant_min_channels = None
         meta = {"task": task, "size": size, "nc": nc, "names": names or COCO_NAMES}
         if not fused:
             meta["state"] = state

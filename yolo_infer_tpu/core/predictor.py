@@ -63,6 +63,11 @@ class Predictor:
         max_det: int = 300,
         names: Optional[Dict[int, str]] = None,
         quant_act_scales: Optional[jnp.ndarray] = None,  # static PTQ scales
+        quant_min_channels: Optional[int] = None,  # static8 channel
+        # eligibility override: None = measured default (QuantContext);
+        # a huge value (e.g. 1 << 30) degenerates to WEIGHT-ONLY int8
+        # (int8-stored weights dequantized to bf16 compute — halves weight
+        # HBM traffic, the regime that matters at batch 1)
         mesh: Any = None,  # jax Mesh: shard inference batches over 'data'
         mask_mode: str = "device",  # segment masks: "device" (in-graph
         # sigmoid+crop+0.5-threshold, bit-packed transfer) or "exact" (host
@@ -81,6 +86,7 @@ class Predictor:
         enable_compile_cache()  # second-process compiles load from disk
         self.names = names or dict(COCO_NAMES)
         self.quant_act_scales = quant_act_scales
+        self.quant_min_channels = quant_min_channels
         self.mesh = mesh
         if mesh is not None:
             from yolo_infer_tpu.parallel.mesh import shard_params
@@ -116,7 +122,8 @@ class Predictor:
         if self.quant_act_scales is not None:
             # (n, 2) in/out pairs -> int8-residency path; legacy (n,) -> static
             mode = "static8" if getattr(self.quant_act_scales, "ndim", 1) == 2 else "static"
-            with quant_context(QuantContext(mode, act_scales=self.quant_act_scales)):
+            kw = {} if self.quant_min_channels is None else {"int8_min_channels": int(self.quant_min_channels)}
+            with quant_context(QuantContext(mode, act_scales=self.quant_act_scales, **kw)):
                 return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype, attn_impl=attn_impl)
         return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype, attn_impl=attn_impl)
 
