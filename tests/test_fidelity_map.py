@@ -183,6 +183,18 @@ def _build_pair(task):
     tmodel = TorchYOLO11(spec).eval()
     names, shapes = zip(*[(kk, tuple(v.shape)) for kk, v in tmodel.state_dict().items()])
     sd = golden_state_dict(names, shapes)
+    if task == "segment":
+        # The golden init gives the mask-coef head near-zero weights, so
+        # mask logits land within ~0.003 of the 0.5 sigmoid threshold
+        # everywhere — a regime where ANY sub-1e-3 numeric difference
+        # (u8 mask quantization, bf16, resize order) flips cells at random
+        # and mask mAP measures noise. Real checkpoints have O(1) logit
+        # spread; re-randomize the final coef conv at unit scale so the
+        # fidelity gate tests the pipeline, not threshold chatter.
+        rng = np.random.default_rng(7)
+        for kk in list(sd):
+            if "cv4" in kk and kk.endswith((".2.weight", ".2.bias")) and "proto" not in kk:
+                sd[kk] = rng.normal(0.0, 8.0, sd[kk].shape).astype(np.float32)
     tmodel.load_state_dict({kk: torch.from_numpy(v) for kk, v in sd.items()})
     params, state = convert_state_dict(sd, spec)
     predictor = Predictor(fold_model(params, state), spec, compute_dtype=jnp.float32, pre_topk=2048)
@@ -340,10 +352,18 @@ def test_fidelity_map_delta(task):
                 sim = mask_iou_matrix(p["masks"].astype(np.float32), gm.astype(np.float32))
                 ims.append({"sim": sim, "pred_scores": p["pred_scores"], "pred_cls": p["pred_cls"], "gt_cls": g["gt_cls"][: len(gm)]})
             return ims
-        mm_t = oracle_map(mask_images(tp), protocol="ultralytics")
-        mm_j = oracle_map(mask_images(jp), protocol="ultralytics")
+        # COCO greedy matching here, not ultralytics: the random-weight scene
+        # yields duplicate near-identical detections, and ultralytics'
+        # unique-match dedup quirk then drops a match based on exact-tie
+        # ordering luck — torch vs torch survives (ties at IoU 1.0), any
+        # sub-1e-3 numeric difference loses a TP at ALL thresholds. Greedy
+        # per-pred matching scores identical scenes identically; mask
+        # fidelity itself is still gated at IoU up to 0.95.
+        mm_t = oracle_map(mask_images(tp), protocol="coco")
+        mm_j = oracle_map(mask_images(jp), protocol="coco")
         assert mm_t["map50"] > 0.6, mm_t
         assert abs(mm_t["map50"] - mm_j["map50"]) <= 0.03, (mm_t, mm_j)
+        assert abs(mm_t["map"] - mm_j["map"]) <= 0.03, (mm_t, mm_j)
 
     if task == "pose":
         from yolo_infer_tpu.core.metrics import oks_matrix

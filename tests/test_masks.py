@@ -46,10 +46,33 @@ def test_device_masks_zero_for_padding_slots():
     assert not masks[1:].any()
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_q8_masks_match_host_path(seed):
+    """uint8-quantized in-graph soft masks == host sigmoid/crop path within
+    1/510 (the quantization step), at proto resolution."""
+    from yolo_infer_tpu.core.predictor import _assemble_masks
+    from yolo_infer_tpu.ops.masks import assemble_masks_q8
+
+    rng = np.random.default_rng(seed)
+    b, d, hm, wm, nm, imgsz = 2, 16, 16, 16, 8, 64
+    proto = rng.normal(0, 1, (b, hm, wm, nm)).astype(np.float32)
+    coefs = rng.normal(0, 0.5, (b, d, nm)).astype(np.float32)
+    xy = rng.uniform(0, imgsz * 0.6, (b, d, 2))
+    wh = rng.uniform(4, imgsz * 0.5, (b, d, 2))
+    boxes = np.concatenate([xy, np.minimum(xy + wh, imgsz)], axis=-1).astype(np.float32)
+
+    q8 = np.asarray(assemble_masks_q8(jnp.asarray(proto), jnp.asarray(coefs), jnp.asarray(boxes), imgsz))
+    assert q8.shape == (b, d, hm, wm) and q8.dtype == np.uint8
+    for i in range(b):
+        want = _assemble_masks(proto[i], coefs[i], boxes[i], imgsz)
+        np.testing.assert_allclose(q8[i] / 255.0, want, atol=1 / 510 + 1e-5)
+
+
 def test_predictor_mask_modes_agree(tiny_seg_predictors):
-    """Serving Results.masks: device mode (binary, upsampled) vs exact mode
-    (float, ultralytics order, then thresholded) differ only on boundary
-    cells."""
+    """Serving Results.masks: device mode (q8 soft masks, host upsample) vs
+    exact mode (float, ultralytics order) agree after thresholding — the q8
+    quantization can only flip cells whose interpolated value sits within
+    1/510 of 0.5."""
     p_dev, p_exact = tiny_seg_predictors
     rng = np.random.default_rng(1)
     img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
@@ -58,9 +81,26 @@ def test_predictor_mask_modes_agree(tiny_seg_predictors):
     assert len(r_dev) == len(r_exact)
     if len(r_dev) and r_dev.masks is not None:
         assert r_dev.masks.shape == r_exact.masks.shape
-        assert set(np.unique(r_dev.masks)) <= {0.0, 1.0}
-        disagree = (r_dev.masks != (r_exact.masks > 0.5)).mean()
-        assert disagree < 0.02, disagree
+        np.testing.assert_allclose(r_dev.masks, r_exact.masks, atol=0.005)
+        # untrained-net mask values hover at sigmoid(~0) = 0.5, so threshold
+        # flips are expected exactly there; binary agreement is asserted on
+        # threshold-STABLE cells (the quantization bound is 1/510)
+        stable = np.abs(r_exact.masks - 0.5) > 0.005
+        disagree = (((r_dev.masks > 0.5) != (r_exact.masks > 0.5)) & stable).mean()
+        assert disagree == 0.0, disagree
+
+
+def test_predictor_bits_mode_binary(tiny_seg_predictors):
+    """mask_out='bits' via predict_raw yields the packed val artifact."""
+    import jax.numpy as jnp
+
+    p_dev, _ = tiny_seg_predictors
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    dets = p_dev.predict_raw(jnp.asarray(img), 0.001, 0.5, 64, multi_label=True, mask_out="bits")
+    assert "mask_bits" in dets and "mask_q8" not in dets
+    masks = unpack_mask_bits(np.asarray(dets["mask_bits"]))
+    assert masks.dtype == bool and masks.shape[-1] == 16  # proto res 64/4
 
 
 @pytest.fixture(scope="module")

@@ -26,19 +26,20 @@ def sync(x):
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from yolo_infer_tpu.core.train_step import TrainState, make_train_step
-    from yolo_infer_tpu.models.yolo11 import build_model
+    from yolo_infer_tpu.core.train_step import init_train_state, make_train_step
+    from yolo_infer_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     imgsz = int(os.environ.get("IMGSZ", "640"))
     rng = np.random.default_rng(0)
     res = []
     for size in os.environ.get("SIZES", "n,m").split(","):
-        params, state, spec = build_model(jax.random.PRNGKey(0), task="detect", size=size, nc=80)
-        tx = optax.sgd(1e-3, momentum=0.9)
-        step = make_train_step(spec, tx)
         for b in (int(x) for x in os.environ.get("BATCHES", "16,32").split(",")):
+            # the PRODUCTION step: yolo_sgd warmup optimizer, finite guard, EMA
+            ts = init_train_state(jax.random.PRNGKey(0), "detect", size, nc=80, imgsz=imgsz)
+            spec = ts.spec
+            step = make_train_step(spec, ts.tx)
             m = 32  # max GT boxes
             batch = {
                 "images": jnp.asarray(rng.random((b, imgsz, imgsz, 3), np.float32)),
@@ -46,12 +47,6 @@ def main():
                 "classes": jnp.asarray(rng.integers(0, 80, (b, m)).astype(np.float32)),
                 "mask": jnp.asarray(np.ones((b, m), np.float32)),
             }
-            ts = TrainState(
-                params=params, bn_state=state, opt_state=tx.init(params),
-                ema_params=jax.tree_util.tree_map(jnp.copy, params),
-                step=jnp.int32(0), skipped=jnp.int32(0), spec=spec, tx=tx,
-                rng=jax.random.PRNGKey(0),
-            )
             t0 = time.perf_counter()
             ts, metrics = step(ts, batch)
             sync(metrics)

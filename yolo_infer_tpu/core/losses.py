@@ -61,10 +61,15 @@ def task_aligned_assigner(
     ).clip(0)  # (B, M, A)
     align = (cls_scores**alpha) * (overlaps**beta)
 
-    # top-k anchors per gt
+    # top-k anchors per gt. Only the k-th best VALUE is needed; the exact
+    # ApproxTopK lowering (ops/nms.py _exact_topk) avoids lax.top_k's full
+    # variadic sort over (B*M, A) — measured part of the 13.9 ms assign
+    # stage at n/b32 (tools/profile_loss.py)
+    from yolo_infer_tpu.ops.nms import _exact_topk
+
     gate = mask_in_gts & mask_gt[:, :, None]
     cand = jnp.where(gate, align, -1.0)
-    kth = jax.lax.top_k(cand, min(topk, a))[0][..., -1:]  # k-th best value per gt
+    kth = _exact_topk(cand, min(topk, a))[0][..., -1:]  # k-th best value per gt
     mask_topk = (cand >= jnp.maximum(kth, 0.0)) & (cand > 0)
     mask_pos = mask_topk & gate  # (B, M, A)
 
@@ -76,9 +81,16 @@ def task_aligned_assigner(
     fg_mask = jnp.any(mask_pos, axis=1)  # (B, A)
     target_gt_idx = jnp.argmax(mask_pos, axis=1)  # (B, A)
 
-    # gather targets
-    tgt_labels = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (B, A)
-    tgt_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[:, :, None], axis=1)  # (B, A, 4)
+    # gather targets via one-hot contractions: mask_pos has at most one gt
+    # per anchor after conflict resolution, so a (B,M,A)x(B,M,*) einsum IS
+    # the gather — vectorized/MXU work instead of the scalar-gather lowering
+    # take_along_axis gets on TPU. Background anchors read zeros (the
+    # take_along_axis form read gt row 0, a zero padding row in the empty-GT
+    # case anyway); every consumer masks by fg/weight and bbox_iou_aligned
+    # is eps-protected, so zero boxes stay backward-finite.
+    mpos_f = mask_pos.astype(jnp.float32)
+    tgt_labels = jnp.einsum("bma,bm->ba", mpos_f, gt_labels.clip(0).astype(jnp.float32)).astype(jnp.int32)  # (B, A)
+    tgt_bboxes = jnp.einsum("bma,bmf->baf", mpos_f, gt_bboxes)  # (B, A, 4)
     tgt_scores = jax.nn.one_hot(tgt_labels, nc, dtype=jnp.float32) * fg_mask[:, :, None]
 
     # normalize scores by per-gt best alignment (soft targets)
@@ -99,12 +111,15 @@ def _dfl_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.
     tl = jnp.floor(target)
     wr = target - tl
     wl = 1.0 - wr
-    tl = tl.astype(jnp.int32)
-    tr = jnp.minimum(tl + 1, reg_max - 1)
+    tr = jnp.minimum(tl + 1.0, reg_max - 1)
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    l_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    l_r = -jnp.take_along_axis(logp, tr[..., None], axis=-1)[..., 0]
-    return jnp.mean(l_l * wl + l_r * wr, axis=-1)  # mean over 4 sides
+    # gather-free: take_along_axis on the 16-wide minor axis lowers to scalar
+    # gathers on TPU (measured 33.8 ms of the n/b32 loss forward,
+    # tools/profile_loss.py); an interpolation-weight tensor turns it into
+    # fully vectorized select+reduce that fuses with the log_softmax
+    iota = jnp.arange(reg_max, dtype=pred_dist.dtype)
+    w = wl[..., None] * (iota == tl[..., None]) + wr[..., None] * (iota == tr[..., None])
+    return jnp.mean(-jnp.sum(logp * w, axis=-1), axis=-1)  # mean over 4 sides
 
 
 def detection_loss(
@@ -253,9 +268,11 @@ def obb_loss(
     cls_scores = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), gt_cls.clip(0)[:, :, None], axis=1)
     align = (cls_scores ** hyp.get("tal_alpha", 0.5)) * (overlaps ** hyp.get("tal_beta", 6.0))
 
+    from yolo_infer_tpu.ops.nms import _exact_topk
+
     gate = mask_in & mask_gt[:, :, None]
     cand = jnp.where(gate, align, -1.0)
-    kth = jax.lax.top_k(cand, min(int(hyp.get("tal_topk", 10)), a))[0][..., -1:]
+    kth = _exact_topk(cand, min(int(hyp.get("tal_topk", 10)), a))[0][..., -1:]
     mask_topk = (cand >= jnp.maximum(kth, 0.0)) & (cand > 0)
     mask_pos = mask_topk & gate
     multi = jnp.sum(mask_pos, axis=1, keepdims=True) > 1
@@ -265,8 +282,12 @@ def obb_loss(
     fg = jnp.any(mask_pos, axis=1)
     tgt_idx = jnp.argmax(mask_pos, axis=1)
 
-    tgt_labels = jnp.take_along_axis(gt_cls, tgt_idx, axis=1)
-    tgt_rbox = jnp.take_along_axis(gt, tgt_idx[:, :, None], axis=1)  # (B, A, 5) px
+    # one-hot contractions instead of scalar gathers (see detection_loss);
+    # background anchors read zero rboxes — probIoU's determinant clamps
+    # keep those backward-finite, and the box loss weight is 0 there
+    mpos_f = mask_pos.astype(jnp.float32)
+    tgt_labels = jnp.einsum("bma,bm->ba", mpos_f, gt_cls.clip(0).astype(jnp.float32)).astype(jnp.int32)
+    tgt_rbox = jnp.einsum("bma,bmf->baf", mpos_f, gt)  # (B, A, 5) px
     tgt_scores = jax.nn.one_hot(tgt_labels, nc, dtype=jnp.float32) * fg[:, :, None]
     align_pos = jnp.where(mask_pos, align, 0.0)
     ovl_pos = jnp.where(mask_pos, overlaps, 0.0)
@@ -343,8 +364,10 @@ def segmentation_loss(
     a = mc.shape[1]
     f = min(mask_fg_cap, a)
 
+    from yolo_infer_tpu.ops.nms import _exact_topk
+
     weight = aux["weight"]  # (B, A)
-    top_w, top_idx = jax.lax.top_k(weight, f)  # (B, F)
+    top_w, top_idx = _exact_topk(weight, f)  # (B, F)
     coefs = jnp.take_along_axis(mc, top_idx[..., None], axis=1)  # (B, F, nm)
     pred = jnp.einsum("bhwn,bfn->bfhw", proto, coefs)  # (B, F, Hm, Wm) logits
 

@@ -70,16 +70,19 @@ class Predictor:
         # HBM traffic, the regime that matters at batch 1)
         mesh: Any = None,  # jax Mesh: shard inference batches over 'data'
         mask_mode: str = "device",  # segment masks: "device" (in-graph
-        # sigmoid+crop+0.5-threshold, bit-packed transfer) or "exact" (host
-        # float path: ultralytics upsample-then-threshold order, soft masks)
+        # sigmoid+crop, uint8-quantized soft masks; host upsamples floats
+        # then thresholds — the exact ultralytics process_mask(upsample=True)
+        # order within 1/510 quantization), "bits" (in-graph 0.5-threshold at
+        # proto res, bit-packed — the val semantic, 8x less transfer), or
+        # "exact" (host float path, no quantization)
     ):
         self.params = params
         self.spec = spec
         self.compute_dtype = compute_dtype
         self.pre_topk = pre_topk
         self.max_det = max_det
-        if mask_mode not in ("device", "exact"):
-            raise ValueError(f"mask_mode must be 'device' or 'exact', got {mask_mode!r}")
+        if mask_mode not in ("device", "bits", "exact"):
+            raise ValueError(f"mask_mode must be 'device', 'bits' or 'exact', got {mask_mode!r}")
         self.mask_mode = mask_mode
         from yolo_infer_tpu.utils.compile_cache import enable_compile_cache
 
@@ -129,7 +132,7 @@ class Predictor:
 
     # -- compiled program ---------------------------------------------------
 
-    def _build(self, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int, pre_topk: int):
+    def _build(self, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int, pre_topk: int, mask_out: Optional[str] = None):
         spec = self.spec
         compute_dtype = self.compute_dtype
 
@@ -190,11 +193,22 @@ class Predictor:
                 coefs = jnp.take_along_axis(
                     mc, dets["anchor_idx"][..., None], axis=1
                 )  # (B, max_det, nm)
-                if self.mask_mode == "device":
+                mmode = mask_out or self.mask_mode
+                if mmode in ("device", "q8"):
+                    from yolo_infer_tpu.ops.masks import assemble_masks_q8
+
+                    # in-graph sigmoid+crop, uint8 soft masks: 4x less
+                    # transfer than f32 and no host matmul; host keeps the
+                    # exact upsample-floats-then-threshold serving order
+                    dets["mask_q8"] = assemble_masks_q8(
+                        out["proto"].astype(jnp.float32), coefs, dets["boxes"], imgsz
+                    )
+                elif mmode == "bits":
                     from yolo_infer_tpu.ops.masks import assemble_mask_bits
 
-                    # in-graph sigmoid+crop+threshold, bit-packed: 32x less
-                    # transfer than f32 masks and no host matmul (VERDICT r2 #5)
+                    # in-graph sigmoid+crop+threshold at proto res (the val
+                    # comparison semantic), bit-packed: 32x less transfer
+                    # than f32 masks and no host matmul (VERDICT r2 #5)
                     dets["mask_bits"] = assemble_mask_bits(
                         out["proto"].astype(jnp.float32), coefs, dets["boxes"], imgsz
                     )
@@ -205,11 +219,11 @@ class Predictor:
 
         return run
 
-    def _get(self, batch: int, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int, pre_topk: Optional[int] = None):
+    def _get(self, batch: int, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int, pre_topk: Optional[int] = None, mask_out: Optional[str] = None):
         pre_topk = pre_topk or self.pre_topk
-        key = (batch, src_hw, imgsz, multi_label, max_det, pre_topk)
+        key = (batch, src_hw, imgsz, multi_label, max_det, pre_topk, mask_out)
         if key not in self._cache:
-            self._cache[key] = self._build(src_hw, imgsz, multi_label, max_det, pre_topk)
+            self._cache[key] = self._build(src_hw, imgsz, multi_label, max_det, pre_topk, mask_out)
         return self._cache[key]
 
     # -- public API ----------------------------------------------------------
@@ -309,7 +323,21 @@ class Predictor:
                 kpts[..., 0] = (kpts[..., 0] - pad[0]) / ratio
                 kpts[..., 1] = (kpts[..., 1] - pad[1]) / ratio
             masks = None
-            if "mask_bits" in dets and n > 0:
+            if "mask_q8" in dets and n > 0:
+                import cv2
+
+                from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
+
+                # device mode: dequantize the n real soft masks, bilinear-
+                # upsample the FLOATS to imgsz (ultralytics process_mask
+                # upsample-then-threshold order; threshold is the caller's,
+                # masks stay soft like the exact path)
+                soft = dets["mask_q8"][i, :n].astype(np.float32) / 255.0
+                chans = np.ascontiguousarray(soft.transpose(1, 2, 0))
+                up = cv2.resize(chans, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+                masks = (up[..., None] if up.ndim == 2 else up).transpose(2, 0, 1)
+                masks = crop_letterbox_masks(masks, ratio, pad, shapes_i, downsample=1)
+            elif "mask_bits" in dets and n > 0:
                 import cv2
 
                 from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
@@ -420,14 +448,17 @@ class Predictor:
             drain_one()
         return results
 
-    def predict_raw(self, images_u8: jnp.ndarray, conf: float, iou: float, imgsz: int, *, multi_label=False, max_det=None, pre_topk=None):
+    def predict_raw(self, images_u8: jnp.ndarray, conf: float, iou: float, imgsz: int, *, multi_label=False, max_det=None, pre_topk=None, mask_out=None):
         """Device-resident variant: returns the raw fixed-shape dets dict (no host sync).
 
         `pre_topk` overrides the candidate cap before NMS (the validator
         raises it: at conf=0.001 x multi_label the above-threshold
-        (anchor, class) pool can exceed the serving default)."""
+        (anchor, class) pool can exceed the serving default). `mask_out`
+        overrides the segment mask artifact ("q8" soft / "bits" binary /
+        "exact" proto+coefs); the validator requests "bits" — binarize at
+        proto res IS the val comparison semantic, at 8x less transfer."""
         md = max_det or self.max_det
-        run = self._get(images_u8.shape[0], tuple(images_u8.shape[1:3]), imgsz, multi_label, md, pre_topk)
+        run = self._get(images_u8.shape[0], tuple(images_u8.shape[1:3]), imgsz, multi_label, md, pre_topk, mask_out)
         return run(self.params, self._place_batch(images_u8), self._dev_scalar(conf), self._dev_scalar(iou))
 
 

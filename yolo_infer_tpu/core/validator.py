@@ -121,6 +121,7 @@ class YOLO11Validator:
             dets = predictor.predict_raw(
                 jnp.asarray(batch_data["images"]), conf, iou, imgsz,
                 multi_label=multi_label, max_det=max_det, pre_topk=pre_topk,
+                mask_out="bits" if ds_task == "segment" else None,
             )
             if pending is not None:
                 drain(*pending)  # host matches previous batch while device runs

@@ -68,3 +68,41 @@ def assemble_mask_bits(
 def unpack_mask_bits(packed: np.ndarray) -> np.ndarray:
     """(..., Hm, Wm//8) uint8 -> (..., Hm, Wm) bool (host side)."""
     return np.unpackbits(np.asarray(packed, np.uint8), axis=-1).astype(bool)
+
+
+def assemble_masks_q8(
+    proto: jnp.ndarray,  # (B, Hm, Wm, nm)
+    coefs: jnp.ndarray,  # (B, max_det, nm)
+    boxes_px: jnp.ndarray,  # (B, max_det, 4) xyxy in letterboxed pixels
+    imgsz: int,
+) -> jnp.ndarray:
+    """SOFT cropped instance masks, uint8-quantized: round(sigmoid * 255).
+
+    The serving-parity variant of :func:`assemble_mask_bits`. Ultralytics'
+    serving order (process_mask(upsample=True)) upsamples the *float* sigmoid
+    masks bilinearly and only then thresholds at 0.5 — binarizing first and
+    upsampling the binaries (the bit path) flips sub-cell boundary pixels,
+    which matters when objects are few proto cells wide. Quantizing to uint8
+    instead keeps the order exact within 1/510 of the threshold (linear
+    interpolation preserves the quantization bound), at 4x less transfer
+    than f32. Host side: /255, bilinear upsample, threshold.
+    """
+    b, hm, wm, nm = proto.shape
+    scale = hm / imgsz
+    ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, :]
+
+    def one(args):
+        p, c, bx = args
+        logits = (p.reshape(-1, nm).astype(jnp.float32) @ c.astype(jnp.float32).T).T.reshape(-1, hm, wm)
+        bxs = bx.astype(jnp.float32) * scale
+        keep = (
+            (xs >= bxs[:, 0, None, None])
+            & (xs < bxs[:, 2, None, None])
+            & (ys >= bxs[:, 1, None, None])
+            & (ys < bxs[:, 3, None, None])
+        )
+        q = jnp.round(jax.nn.sigmoid(logits) * 255.0) * keep
+        return q.astype(jnp.uint8)
+
+    return lax.map(one, (proto, coefs, boxes_px))
