@@ -160,9 +160,9 @@ def test_validator_passes_pre_topk(monkeypatch):
     seen = {}
     orig = Predictor.predict_raw
 
-    def spy(self, images, conf, iou, imgsz, *, multi_label=False, max_det=None, pre_topk=None):
+    def spy(self, images, conf, iou, imgsz, *, pre_topk=None, **kw):
         seen["pre_topk"] = pre_topk
-        return orig(self, images, conf, iou, imgsz, multi_label=multi_label, max_det=max_det, pre_topk=pre_topk)
+        return orig(self, images, conf, iou, imgsz, pre_topk=pre_topk, **kw)
 
     monkeypatch.setattr(Predictor, "predict_raw", spy)
 
