@@ -68,33 +68,73 @@ def test_q8_masks_match_host_path(seed):
         np.testing.assert_allclose(q8[i] / 255.0, want, atol=1 / 510 + 1e-5)
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_upsampled_bits_match_host_path(seed):
+    """In-graph sigmoid->crop->bilinear-upsample->threshold (the full
+    ultralytics process_mask(upsample=True).gt_(0.5) serving order) == the
+    host float path thresholded, away from sub-pixel threshold boundaries."""
+    from yolo_infer_tpu.core.predictor import _assemble_masks
+    from yolo_infer_tpu.ops.masks import assemble_mask_bits_up
+
+    rng = np.random.default_rng(seed)
+    b, d, hm, wm, nm, imgsz = 2, 8, 16, 16, 8, 64
+    proto = rng.normal(0, 1, (b, hm, wm, nm)).astype(np.float32)
+    coefs = rng.normal(0, 0.5, (b, d, nm)).astype(np.float32)
+    xy = rng.uniform(0, imgsz * 0.6, (b, d, 2))
+    wh = rng.uniform(4, imgsz * 0.5, (b, d, 2))
+    boxes = np.concatenate([xy, np.minimum(xy + wh, imgsz)], axis=-1).astype(np.float32)
+
+    packed = np.asarray(assemble_mask_bits_up(jnp.asarray(proto), jnp.asarray(coefs), jnp.asarray(boxes), imgsz))
+    assert packed.shape == (b, d, imgsz, imgsz // 8) and packed.dtype == np.uint8
+    got = unpack_mask_bits(packed)
+
+    for i in range(b):
+        want_soft = _assemble_masks(proto[i], coefs[i], boxes[i], imgsz, upsample=True)
+        stable = np.abs(want_soft - 0.5) > 1e-3  # cv2-vs-XLA bilinear float noise
+        mismatch = ((got[i] != (want_soft > 0.5)) & stable).mean()
+        assert mismatch < 1e-3, f"image {i}: mismatch fraction {mismatch}"
+
+
 def test_predictor_mask_modes_agree(tiny_seg_predictors):
-    """Serving Results.masks: device mode (q8 soft masks, host upsample) vs
-    exact mode (float, ultralytics order) agree after thresholding — the q8
-    quantization can only flip cells whose interpolated value sits within
-    1/510 of 0.5."""
-    p_dev, p_exact = tiny_seg_predictors
+    """Serving Results.masks across modes vs the exact host-float oracle:
+    device mode (in-graph upsample+threshold, binary, lazy) must agree
+    binarily on threshold-stable cells; q8 mode (soft) must match within the
+    1/510 quantization bound."""
+    from yolo_infer_tpu.core.predictor import LazyMasks
+
+    p_dev, p_q8, p_exact = tiny_seg_predictors
     rng = np.random.default_rng(1)
     img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
     r_dev = p_dev.predict(img, conf=0.001, imgsz=64)[0]
+    r_q8 = p_q8.predict(img, conf=0.001, imgsz=64)[0]
     r_exact = p_exact.predict(img, conf=0.001, imgsz=64)[0]
-    assert len(r_dev) == len(r_exact)
+    assert len(r_dev) == len(r_q8) == len(r_exact)
     if len(r_dev) and r_dev.masks is not None:
+        # the device mode's masks are a device-resident lazy view: cheap
+        # introspection must not trigger the transfer
+        assert isinstance(r_dev.masks, LazyMasks)
+        assert len(r_dev.masks) == len(r_exact.masks)
         assert r_dev.masks.shape == r_exact.masks.shape
-        np.testing.assert_allclose(r_dev.masks, r_exact.masks, atol=0.005)
+        assert r_dev.masks._np is None, "shape/len access must stay lazy"
+        dev = np.asarray(r_dev.masks)  # materializes (transfer + unpack)
+        assert r_dev.masks._np is not None and r_dev.masks._dev is None
+        assert set(np.unique(dev)) <= {0.0, 1.0}  # ultralytics .gt_(0.5) semantics
         # untrained-net mask values hover at sigmoid(~0) = 0.5, so threshold
         # flips are expected exactly there; binary agreement is asserted on
-        # threshold-STABLE cells (the quantization bound is 1/510)
-        stable = np.abs(r_exact.masks - 0.5) > 0.005
-        disagree = (((r_dev.masks > 0.5) != (r_exact.masks > 0.5)) & stable).mean()
+        # threshold-STABLE cells (XLA-vs-numpy float noise is ~1e-6)
+        stable = np.abs(r_exact.masks - 0.5) > 1e-3
+        disagree = (((dev > 0.5) != (r_exact.masks > 0.5)) & stable).mean()
         assert disagree == 0.0, disagree
+        # q8 soft path: ultralytics upsample-floats-then-threshold order,
+        # within quantization of the exact float masks
+        np.testing.assert_allclose(r_q8.masks, r_exact.masks, atol=0.005)
 
 
 def test_predictor_bits_mode_binary(tiny_seg_predictors):
     """mask_out='bits' via predict_raw yields the packed val artifact."""
     import jax.numpy as jnp
 
-    p_dev, _ = tiny_seg_predictors
+    p_dev, _, _ = tiny_seg_predictors
     rng = np.random.default_rng(2)
     img = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
     dets = p_dev.predict_raw(jnp.asarray(img), 0.001, 0.5, 64, multi_label=True, mask_out="bits")
@@ -113,5 +153,6 @@ def tiny_seg_predictors():
     params, state, spec = build_model(jax.random.PRNGKey(0), "segment", "n", nc=3)
     deploy = fold_model(params, state)
     dev = Predictor(deploy, spec, compute_dtype=jnp.float32, mask_mode="device")
+    q8 = Predictor(deploy, spec, compute_dtype=jnp.float32, mask_mode="q8")
     exact = Predictor(deploy, spec, compute_dtype=jnp.float32, mask_mode="exact")
-    return dev, exact
+    return dev, q8, exact

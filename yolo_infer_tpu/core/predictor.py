@@ -42,12 +42,97 @@ class Results:
     names: Dict[int, str] = field(default_factory=lambda: dict(COCO_NAMES))
     speed: Dict[str, float] = field(default_factory=dict)
     keypoints: Optional[np.ndarray] = None  # (n, K, 3) pose
-    masks: Optional[np.ndarray] = None  # (n, H, W) segment
+    masks: Optional[Any] = None  # (n, H, W) segment — ndarray or LazyMasks
     probs: Optional[np.ndarray] = None  # (nc,) classify
     obb: Optional[np.ndarray] = None  # (n, 5) cx,cy,w,h,rad oriented boxes
 
     def __len__(self) -> int:
         return int(self.boxes.shape[0])
+
+
+class LazyMasks:
+    """Device-resident serving masks, materialized to numpy on first access.
+
+    Holds a slice reference into the batch's bit-packed (B, max_det, imgsz,
+    imgsz//8) uint8 device buffer (ops/masks.py assemble_mask_bits_up) and
+    behaves like the (n, ch, cw) float32 binary array the eager paths
+    return. This mirrors the reference, where ``Results.masks`` is a CUDA
+    tensor that only hits the host when read: predict() never pays a mask
+    transfer on the hot path, and at serving confidences the on-access
+    transfer is a few hundred KB (n·imgsz²/8 bytes for the n real rows).
+
+    The device buffer is shared by all Results of one batch and is released
+    per-image on materialization; dropping the Results frees it.
+    """
+
+    def __init__(self, packed_dev, index: int, n: int, ratio: float, pad, orig_shape, imgsz: int):
+        self._dev = packed_dev
+        self._index = index
+        self._n = n
+        self._ratio, self._pad, self._orig_shape, self._imgsz = ratio, pad, orig_shape, imgsz
+        self._np: Optional[np.ndarray] = None
+
+    def numpy(self) -> np.ndarray:
+        """Transfer (n rows only) + unpack bits + drop the letterbox band."""
+        if self._np is None:
+            from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
+            from yolo_infer_tpu.ops.masks import unpack_mask_bits
+
+            packed = np.asarray(self._dev[self._index, : self._n])
+            m = unpack_mask_bits(packed).astype(np.float32)
+            self._np = np.ascontiguousarray(
+                crop_letterbox_masks(m, self._ratio, self._pad, self._orig_shape, downsample=1)
+            )
+            self._dev = None  # release this image's hold on the device buffer
+        return self._np
+
+    # ---- cheap (non-materializing) introspection ----
+    @property
+    def shape(self):
+        if self._np is not None:
+            return self._np.shape
+        # mirror crop_letterbox_masks(downsample=1) slice arithmetic
+        x0 = int(round(self._pad[0]))
+        y0 = int(round(self._pad[1]))
+        ch = max(int(round(self._orig_shape[0] * self._ratio)), 1)
+        cw = max(int(round(self._orig_shape[1] * self._ratio)), 1)
+        return (self._n, min(ch, self._imgsz - y0), min(cw, self._imgsz - x0))
+
+    @property
+    def dtype(self):
+        return np.float32
+
+    @property
+    def ndim(self) -> int:
+        return 3
+
+    def __len__(self) -> int:
+        return self._n
+
+    # ---- everything else behaves like the materialized ndarray ----
+    def __array__(self, dtype=None, copy=None):
+        a = self.numpy()
+        return a.astype(dtype) if dtype is not None and dtype != a.dtype else a
+
+    def __getitem__(self, item):
+        return self.numpy()[item]
+
+    def __iter__(self):
+        return iter(self.numpy())
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self.numpy(), name)
+
+
+for _op in ("__ge__", "__gt__", "__le__", "__lt__", "__eq__", "__ne__",
+            "__add__", "__radd__", "__sub__", "__rsub__", "__mul__", "__rmul__"):
+    def _lazy_delegate(self, other, _op=_op):
+        return getattr(self.numpy(), _op)(other)
+
+    setattr(LazyMasks, _op, _lazy_delegate)
+del _op, _lazy_delegate
 
 
 class Predictor:
@@ -69,20 +154,25 @@ class Predictor:
         # (int8-stored weights dequantized to bf16 compute — halves weight
         # HBM traffic, the regime that matters at batch 1)
         mesh: Any = None,  # jax Mesh: shard inference batches over 'data'
-        mask_mode: str = "device",  # segment masks: "device" (in-graph
-        # sigmoid+crop, uint8-quantized soft masks; host upsamples floats
-        # then thresholds — the exact ultralytics process_mask(upsample=True)
-        # order within 1/510 quantization), "bits" (in-graph 0.5-threshold at
-        # proto res, bit-packed — the val semantic, 8x less transfer), or
-        # "exact" (host float path, no quantization)
+        mask_mode: str = "device",  # segment masks:
+        # "device": the whole ultralytics serving pipeline in-graph —
+        #   sigmoid -> crop -> bilinear upsample to imgsz -> 0.5-threshold
+        #   (process_mask(upsample=True).gt_(0.5) order, interpolation on
+        #   the accelerator like the reference's F.interpolate), bit-packed;
+        #   Results.masks is a LazyMasks view that stays on device until read
+        # "q8": in-graph sigmoid+crop, uint8-quantized SOFT masks; host
+        #   upsamples floats then thresholds (same order within 1/510)
+        # "bits": in-graph 0.5-threshold at proto res, bit-packed — the val
+        #   comparison semantic, 8x less transfer
+        # "exact": host float path, no quantization (parity oracle)
     ):
         self.params = params
         self.spec = spec
         self.compute_dtype = compute_dtype
         self.pre_topk = pre_topk
         self.max_det = max_det
-        if mask_mode not in ("device", "bits", "exact"):
-            raise ValueError(f"mask_mode must be 'device', 'bits' or 'exact', got {mask_mode!r}")
+        if mask_mode not in ("device", "q8", "bits", "exact"):
+            raise ValueError(f"mask_mode must be 'device', 'q8', 'bits' or 'exact', got {mask_mode!r}")
         self.mask_mode = mask_mode
         from yolo_infer_tpu.utils.compile_cache import enable_compile_cache
 
@@ -194,7 +284,16 @@ class Predictor:
                     mc, dets["anchor_idx"][..., None], axis=1
                 )  # (B, max_det, nm)
                 mmode = mask_out or self.mask_mode
-                if mmode in ("device", "q8"):
+                if mmode == "device":
+                    from yolo_infer_tpu.ops.masks import assemble_mask_bits_up
+
+                    # full serving pipeline on device (sigmoid, crop,
+                    # bilinear upsample, threshold), bit-packed; stays
+                    # device-resident until Results.masks is read
+                    dets["mask_bits_up"] = assemble_mask_bits_up(
+                        out["proto"].astype(jnp.float32), coefs, dets["boxes"], imgsz
+                    )
+                elif mmode == "q8":
                     from yolo_infer_tpu.ops.masks import assemble_masks_q8
 
                     # in-graph sigmoid+crop, uint8 soft masks: 4x less
@@ -271,7 +370,10 @@ class Predictor:
         run = self._get(batch_np.shape[0], shapes[0], imgsz, multi_label, md)
         with device_busy():  # duty-cycle telemetry (utils.helpers)
             dets = run(self.params, self._place_batch(jnp.asarray(batch_np)), self._dev_scalar(conf), self._dev_scalar(iou))
+            dev_masks = dets.pop("mask_bits_up", None)  # stays on device (LazyMasks)
             dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)
+            if dev_masks is not None:
+                dets["mask_bits_up"] = dev_masks
         dt = (time.perf_counter() - t0) * 1000
         orig_shapes = shapes_orig if host_lb is not None else shapes
         return self._postprocess(dets, orig_shapes, host_lb, imgsz, dt)
@@ -323,7 +425,11 @@ class Predictor:
                 kpts[..., 0] = (kpts[..., 0] - pad[0]) / ratio
                 kpts[..., 1] = (kpts[..., 1] - pad[1]) / ratio
             masks = None
-            if "mask_q8" in dets and n > 0:
+            if "mask_bits_up" in dets and n > 0:
+                # device mode: masks are already final (upsampled, binary,
+                # bit-packed) and stay on device until read
+                masks = LazyMasks(dets["mask_bits_up"], i, n, ratio, pad, shapes_i, imgsz)
+            elif "mask_q8" in dets and n > 0:
                 import cv2
 
                 from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
@@ -428,7 +534,10 @@ class Predictor:
 
         def drain_one():
             dets, lo, hi, t0 = pending.popleft()
+            dev_masks = dets.pop("mask_bits_up", None)  # stays on device (LazyMasks)
             dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)  # sync
+            if dev_masks is not None:
+                dets["mask_bits_up"] = dev_masks
             dt = (time.perf_counter() - t0) * 1000
             chunk_lb = host_lb[lo:hi] if host_lb is not None else None
             out = self._postprocess(dets, shapes_orig[lo:hi] + [shapes_orig[hi - 1]] * (batch_size - (hi - lo)),

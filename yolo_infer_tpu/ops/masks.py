@@ -70,6 +70,52 @@ def unpack_mask_bits(packed: np.ndarray) -> np.ndarray:
     return np.unpackbits(np.asarray(packed, np.uint8), axis=-1).astype(bool)
 
 
+def assemble_mask_bits_up(
+    proto: jnp.ndarray,  # (B, Hm, Wm, nm)
+    coefs: jnp.ndarray,  # (B, max_det, nm)
+    boxes_px: jnp.ndarray,  # (B, max_det, 4) xyxy in letterboxed pixels
+    imgsz: int,
+) -> jnp.ndarray:
+    """Serving masks entirely on device: sigmoid -> crop (at proto res) ->
+    bilinear upsample to (imgsz, imgsz) -> 0.5-threshold -> bit-pack along W.
+
+    This is the exact ultralytics serving pipeline — ``process_mask(
+    upsample=True)`` then ``.gt_(0.5)`` — with the interpolation on the
+    accelerator, where the reference's ``F.interpolate`` also runs. The
+    output is (B, max_det, imgsz, imgsz//8) uint8: imgsz²/8 bytes per
+    instance, pulled to the host only if ``Results.masks`` is actually read
+    (see ``core.predictor.LazyMasks``). ``lax.map`` over the batch bounds
+    the (max_det, imgsz, imgsz) f32 upsample intermediate to one image.
+    """
+    b, hm, wm, nm = proto.shape
+    if imgsz % 8:
+        raise ValueError(f"imgsz {imgsz} not a multiple of 8")
+    scale = hm / imgsz
+    ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, :]
+    pw = jnp.asarray(_BIT_WEIGHTS)
+
+    def one(args):
+        p, c, bx = args
+        logits = (p.reshape(-1, nm).astype(jnp.float32) @ c.astype(jnp.float32).T).T.reshape(-1, hm, wm)
+        bxs = bx.astype(jnp.float32) * scale
+        keep = (
+            (xs >= bxs[:, 0, None, None])
+            & (xs < bxs[:, 2, None, None])
+            & (ys >= bxs[:, 1, None, None])
+            & (ys < bxs[:, 3, None, None])
+        )
+        soft = jax.nn.sigmoid(logits) * keep
+        up = jax.image.resize(soft, (soft.shape[0], imgsz, imgsz), method="bilinear")
+        binm = up > 0.5
+        packed = jnp.sum(
+            binm.reshape(-1, imgsz, imgsz // 8, 8).astype(jnp.int32) * pw[None, None, None, :], axis=-1
+        )
+        return packed.astype(jnp.uint8)
+
+    return lax.map(one, (proto, coefs, boxes_px))
+
+
 def assemble_masks_q8(
     proto: jnp.ndarray,  # (B, Hm, Wm, nm)
     coefs: jnp.ndarray,  # (B, max_det, nm)
