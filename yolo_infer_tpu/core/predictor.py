@@ -543,7 +543,16 @@ class Predictor:
             out = self._postprocess(dets, shapes_orig[lo:hi] + [shapes_orig[hi - 1]] * (batch_size - (hi - lo)),
                                     None if chunk_lb is None else chunk_lb + [chunk_lb[-1]] * (batch_size - (hi - lo)),
                                     imgsz, dt)
-            results.extend(out[: hi - lo])
+            out = out[: hi - lo]
+            for r in out:
+                if isinstance(r.masks, LazyMasks):
+                    # bulk API: materialize during the pipelined drain (the
+                    # device is busy with the next chunk) so each chunk's
+                    # mask buffer is freed — otherwise a long run would pin
+                    # one (batch, max_det, imgsz, imgsz/8) device buffer per
+                    # chunk. The transfer is the bit-packed :n rows only.
+                    r.masks.numpy()
+            results.extend(out)
 
         for lo in range(0, n, batch_size):
             hi = min(lo + batch_size, n)
