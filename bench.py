@@ -137,6 +137,39 @@ def main() -> None:
             if isinstance(extras.get("x_int8"), dict):
                 extras.update(extras.pop("x_int8"))
 
+        def _seg():
+            # seg serving with device-resident lazy masks (round 3): the full
+            # process_mask(upsample=True) pipeline in-graph, Results.masks
+            # stays on device until read (docs/ARCHITECTURE.md)
+            import numpy as np
+
+            from yolo_infer_tpu.core.predictor import Predictor
+
+            s = YOLO11Model(f"yolo11{size}-seg")
+            p = Predictor(s.deploy_params, s.spec, compute_dtype=s.compute_dtype, names=s.names)
+            rng = np.random.default_rng(0)
+            imgs = [rng.integers(0, 255, (imgsz, imgsz, 3), dtype=np.uint8) for _ in range(batch)]
+            for _ in range(3):
+                res = p.predict(imgs, conf=0.25, imgsz=imgsz)
+            t0 = time.perf_counter()
+            n_runs = 10
+            for _ in range(n_runs):
+                res = p.predict(imgs, conf=0.25, imgsz=imgsz)
+            lazy = batch / ((time.perf_counter() - t0) / n_runs)
+            t0 = time.perf_counter()
+            for _ in range(n_runs):
+                res = p.predict(imgs, conf=0.25, imgsz=imgsz)
+                for r in res:
+                    if r.masks is not None:
+                        np.asarray(r.masks)
+            read = batch / ((time.perf_counter() - t0) / n_runs)
+            return {"seg_fps": round(lazy, 1), "seg_fps_masks_read": round(read, 1)}
+
+        if os.environ.get("BENCH_SEG", "1") == "1":
+            _try("seg", _seg)
+            if isinstance(extras.get("seg"), dict):
+                extras.update(extras.pop("seg"))
+
         big_batch = int(os.environ.get("BENCH_BIG_BATCH", "128"))
         _try("fps_b%d" % big_batch, lambda: round(
             model.benchmark(imgsz=imgsz, batch=big_batch, runs=max(runs // 4, 10), warmup=3)["throughput_imgs_per_s"], 1))
