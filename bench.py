@@ -76,6 +76,17 @@ def main() -> None:
         "imgsz": imgsz,
     }
 
+    partial_path = os.environ.get("BENCH_PARTIAL", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json"))
+
+    def _checkpoint():
+        # incremental record: a wedge/kill mid-extras must not lose the
+        # already-measured rows (stdout stays ONE line for the driver)
+        try:
+            with open(partial_path, "w") as f:
+                json.dump({"fps_headline": fps, **extras}, f)
+        except OSError:
+            pass
+
     def _try(name, fn):
         if time.perf_counter() - t_start > budget_s:
             extras.setdefault("extras_skipped_budget", []).append(name)
@@ -84,6 +95,9 @@ def main() -> None:
             extras[name] = _retry(fn)
         except Exception as e:  # noqa: BLE001 — extras must not sink the headline
             extras[name + "_error"] = str(e)[:120]
+        _checkpoint()
+
+    _checkpoint()  # the headline survives even if the first extra wedges
 
     if full:
         # ---- extras, MOST VALUABLE FIRST (budget drops the tail, not these)
@@ -143,10 +157,8 @@ def main() -> None:
             # stays on device until read (docs/ARCHITECTURE.md)
             import numpy as np
 
-            from yolo_infer_tpu.core.predictor import Predictor
-
             s = YOLO11Model(f"yolo11{size}-seg")
-            p = Predictor(s.deploy_params, s.spec, compute_dtype=s.compute_dtype, names=s.names)
+            p = s.predictor
             rng = np.random.default_rng(0)
             imgs = [rng.integers(0, 255, (imgsz, imgsz, 3), dtype=np.uint8) for _ in range(batch)]
             for _ in range(3):

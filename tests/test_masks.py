@@ -130,10 +130,11 @@ def test_predictor_mask_modes_agree(tiny_seg_predictors):
         np.testing.assert_allclose(r_q8.masks, r_exact.masks, atol=0.005)
 
 
-def test_predict_many_materializes_lazy_masks(tiny_seg_predictors):
-    """The bulk API must not pin one device mask buffer per chunk: masks come
-    back materialized (drained while the device runs the next chunk), with
-    per-image letterbox geometry intact on heterogeneous inputs."""
+def test_predict_many_drains_masks_to_host(tiny_seg_predictors):
+    """The bulk API must not pin one device mask buffer per chunk: at drain
+    the packed masks move to the host in one bounded transfer (LazyMasks then
+    unpacks lazily from host memory), with per-image letterbox geometry
+    intact on heterogeneous inputs."""
     from yolo_infer_tpu.core.predictor import LazyMasks
 
     p_dev, _, _ = tiny_seg_predictors
@@ -143,15 +144,18 @@ def test_predict_many_materializes_lazy_masks(tiny_seg_predictors):
             rng.integers(0, 255, (64, 32, 3), dtype=np.uint8)]
     res = p_dev.predict_many(imgs, conf=0.001, imgsz=64, batch_size=2)
     assert len(res) == 3
+    assert any(r.masks is not None for r in res)  # non-vacuous
     for r, im in zip(res, imgs):
         if r.masks is None:
             continue
         assert isinstance(r.masks, LazyMasks)
-        assert r.masks._np is not None and r.masks._dev is None  # drained
+        assert isinstance(r.masks._dev, np.ndarray), "packed masks must be host-side after drain"
         h, w = im.shape[:2]
         mh, mw = r.masks.shape[1:]
         # letterbox-cropped mask aspect tracks the source image
         assert abs(mh / mw - h / w) < 0.1, (im.shape, r.masks.shape)
+        m = np.asarray(r.masks)  # lazy unpack from the host-packed buffer
+        assert m.shape == (len(r.masks), mh, mw) and set(np.unique(m)) <= {0.0, 1.0}
 
 
 def test_predictor_bits_mode_binary(tiny_seg_predictors):

@@ -534,25 +534,26 @@ class Predictor:
 
         def drain_one():
             dets, lo, hi, t0 = pending.popleft()
-            dev_masks = dets.pop("mask_bits_up", None)  # stays on device (LazyMasks)
+            dev_masks = dets.pop("mask_bits_up", None)
             dets = jax.tree_util.tree_map(lambda x: np.asarray(x) if x is not None else None, dets)  # sync
             if dev_masks is not None:
-                dets["mask_bits_up"] = dev_masks
+                # bulk API: pull the packed masks to the host NOW, in ONE
+                # bounded transfer (the :max(n) real rows), so no device
+                # buffer stays pinned per chunk — a long run would exhaust
+                # HBM otherwise. LazyMasks then unpacks lazily from the
+                # host-packed array (8x smaller than unpacked); a per-image
+                # device slice here would dispatch batch_size programs that
+                # queue behind the in-flight next chunk.
+                mx = int(dets["num"][: hi - lo].max(initial=0))
+                dets["mask_bits_up"] = np.asarray(dev_masks[:, :mx]) if mx else None
+                if dets["mask_bits_up"] is None:
+                    del dets["mask_bits_up"]
             dt = (time.perf_counter() - t0) * 1000
             chunk_lb = host_lb[lo:hi] if host_lb is not None else None
             out = self._postprocess(dets, shapes_orig[lo:hi] + [shapes_orig[hi - 1]] * (batch_size - (hi - lo)),
                                     None if chunk_lb is None else chunk_lb + [chunk_lb[-1]] * (batch_size - (hi - lo)),
                                     imgsz, dt)
-            out = out[: hi - lo]
-            for r in out:
-                if isinstance(r.masks, LazyMasks):
-                    # bulk API: materialize during the pipelined drain (the
-                    # device is busy with the next chunk) so each chunk's
-                    # mask buffer is freed — otherwise a long run would pin
-                    # one (batch, max_det, imgsz, imgsz/8) device buffer per
-                    # chunk. The transfer is the bit-packed :n rows only.
-                    r.masks.numpy()
-            results.extend(out)
+            results.extend(out[: hi - lo])
 
         for lo in range(0, n, batch_size):
             hi = min(lo + batch_size, n)
