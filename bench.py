@@ -27,18 +27,17 @@ TRANSIENT = ("INVALID_ARGUMENT", "InvalidArgument", "UNAVAILABLE", "DEADLINE", "
 
 
 def _retry(fn, attempts=2):
-    """Retry once on the tunnel's transient backend errors."""
-    last = None
+    """Retry once on the tunnel's transient backend errors. INVALID_ARGUMENT
+    is deliberately in the transient set: the axon tunnel emits spurious
+    InvalidArgument on very large compiles (PERF_MATRIX notes) — the cost of
+    one redundant re-run on a genuine bug beats losing a 15-minute row."""
     for i in range(attempts):
         try:
             return fn()
         except Exception as e:  # noqa: BLE001
-            last = e
-            msg = f"{type(e).__name__}: {e}"
-            if i + 1 < attempts and any(t in msg for t in TRANSIENT):
+            if i + 1 < attempts and any(t in f"{type(e).__name__}: {e}" for t in TRANSIENT):
                 continue
             raise
-    raise last
 
 
 def main() -> None:

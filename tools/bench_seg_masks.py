@@ -46,6 +46,11 @@ def main():
 
     out = {"size": size, "batch": b, "imgsz": imgsz, "conf": conf}
 
+    def emit():
+        # progressive supersets — tunnel weather can kill a phase; every
+        # completed row must already be on disk (last line = full record)
+        print(json.dumps(out), flush=True)
+
     def timed(fn, n_runs, warmup):
         for _ in range(warmup):
             fn()
@@ -62,10 +67,12 @@ def main():
     res = p.predict(imgs, conf=conf, imgsz=imgsz)
     out["device_compile_s"] = round(time.perf_counter() - t0, 1)
     out["n_dets"] = int(sum(len(r) for r in res))
+    emit()
 
     dt, _ = timed(lambda: p.predict(imgs, conf=conf, imgsz=imgsz), runs, warmup=2)
     out["device_imgs_per_s"] = round(b / dt, 1)
     out["device_ms_per_batch"] = round(dt * 1e3, 2)
+    emit()
 
     def read_all():
         res = p.predict(imgs, conf=conf, imgsz=imgsz)
@@ -77,6 +84,7 @@ def main():
     dt, _ = timed(read_all, max(2, runs // 4), warmup=1)
     out["device_read_imgs_per_s"] = round(b / dt, 1)
     out["device_read_ms_per_batch"] = round(dt * 1e3, 2)
+    emit()
 
     # realistic serving conf on the SAME compiled program (conf is traced)
     def read_all_conf25():
@@ -89,6 +97,7 @@ def main():
     dt, res25 = timed(read_all_conf25, max(2, runs // 4), warmup=1)
     out["device_read_conf25_imgs_per_s"] = round(b / dt, 1)
     out["device_read_conf25_n_dets"] = int(sum(len(r) for r in res25))
+    emit()
 
     # -- exact host-float oracle -------------------------------------------
     if os.environ.get("SKIP_EXACT", "0") != "1":
@@ -97,6 +106,7 @@ def main():
         t0 = time.perf_counter()
         pe.predict(imgs, conf=conf, imgsz=imgsz)
         out["exact_compile_s"] = round(time.perf_counter() - t0, 1)
+        emit()
         dt, _ = timed(lambda: pe.predict(imgs, conf=conf, imgsz=imgsz), exact_runs, warmup=0)
         out["exact_imgs_per_s"] = round(b / dt, 1)
         out["exact_ms_per_batch"] = round(dt * 1e3, 2)

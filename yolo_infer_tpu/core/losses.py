@@ -89,8 +89,13 @@ def task_aligned_assigner(
     # case anyway); every consumer masks by fg/weight and bbox_iou_aligned
     # is eps-protected, so zero boxes stay backward-finite.
     mpos_f = mask_pos.astype(jnp.float32)
-    tgt_labels = jnp.einsum("bma,bm->ba", mpos_f, gt_labels.clip(0).astype(jnp.float32)).astype(jnp.int32)  # (B, A)
-    tgt_bboxes = jnp.einsum("bma,bmf->baf", mpos_f, gt_bboxes)  # (B, A, 4)
+    # HIGHEST: these contractions ARE gathers — TPU default matmul precision
+    # (bf16 operands) would quantize target coords by up to a few px at 640
+    # and break exact label ids past nc=256; the contractions are tiny
+    tgt_labels = jnp.einsum("bma,bm->ba", mpos_f, gt_labels.clip(0).astype(jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)  # (B, A)
+    tgt_bboxes = jnp.einsum("bma,bmf->baf", mpos_f, gt_bboxes,
+                            precision=jax.lax.Precision.HIGHEST)  # (B, A, 4)
     tgt_scores = jax.nn.one_hot(tgt_labels, nc, dtype=jnp.float32) * fg_mask[:, :, None]
 
     # normalize scores by per-gt best alignment (soft targets)
@@ -144,7 +149,8 @@ def detection_loss(
     # decode boxes in grid units then pixels for the assigner
     dist = pred_dist_logits.reshape(b, a, 4, reg_max)
     probs = jax.nn.softmax(dist, axis=-1)
-    ltrb = jnp.einsum("bafr,r->baf", probs, jnp.arange(reg_max, dtype=jnp.float32))
+    ltrb = jnp.einsum("bafr,r->baf", probs, jnp.arange(reg_max, dtype=jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
     pred_boxes_grid = dist2bbox(ltrb, anchor_points[None])  # (B, A, 4) grid units
     pred_boxes_px = pred_boxes_grid * strd[None]
 
@@ -239,7 +245,8 @@ def obb_loss(
 
     dist = pred_dist_logits.reshape(b, a, 4, reg_max)
     probs = jax.nn.softmax(dist, axis=-1)
-    ltrb = jnp.einsum("bafr,r->baf", probs, jnp.arange(reg_max, dtype=jnp.float32))
+    ltrb = jnp.einsum("bafr,r->baf", probs, jnp.arange(reg_max, dtype=jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
     rb_grid = dist2rbox(ltrb, angle, anchor_points[None])  # (B, A, 4) grid units
     pred_rbox_px = jnp.concatenate([rb_grid * strd[None], angle[..., None]], axis=-1)  # (B,A,5)
 
@@ -286,8 +293,10 @@ def obb_loss(
     # background anchors read zero rboxes — probIoU's determinant clamps
     # keep those backward-finite, and the box loss weight is 0 there
     mpos_f = mask_pos.astype(jnp.float32)
-    tgt_labels = jnp.einsum("bma,bm->ba", mpos_f, gt_cls.clip(0).astype(jnp.float32)).astype(jnp.int32)
-    tgt_rbox = jnp.einsum("bma,bmf->baf", mpos_f, gt)  # (B, A, 5) px
+    tgt_labels = jnp.einsum("bma,bm->ba", mpos_f, gt_cls.clip(0).astype(jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    tgt_rbox = jnp.einsum("bma,bmf->baf", mpos_f, gt,
+                          precision=jax.lax.Precision.HIGHEST)  # (B, A, 5) px
     tgt_scores = jax.nn.one_hot(tgt_labels, nc, dtype=jnp.float32) * fg[:, :, None]
     align_pos = jnp.where(mask_pos, align, 0.0)
     ovl_pos = jnp.where(mask_pos, overlaps, 0.0)

@@ -91,11 +91,9 @@ class LazyMasks:
     def shape(self):
         if self._np is not None:
             return self._np.shape
-        # mirror crop_letterbox_masks(downsample=1) slice arithmetic
-        x0 = int(round(self._pad[0]))
-        y0 = int(round(self._pad[1]))
-        ch = max(int(round(self._orig_shape[0] * self._ratio)), 1)
-        cw = max(int(round(self._orig_shape[1] * self._ratio)), 1)
+        from yolo_infer_tpu.ops.letterbox import crop_letterbox_slices
+
+        y0, x0, ch, cw = crop_letterbox_slices(self._ratio, self._pad, self._orig_shape, downsample=1)
         return (self._n, min(ch, self._imgsz - y0), min(cw, self._imgsz - x0))
 
     @property
@@ -440,8 +438,7 @@ class Predictor:
                 # masks stay soft like the exact path)
                 soft = dets["mask_q8"][i, :n].astype(np.float32) / 255.0
                 chans = np.ascontiguousarray(soft.transpose(1, 2, 0))
-                up = cv2.resize(chans, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
-                masks = (up[..., None] if up.ndim == 2 else up).transpose(2, 0, 1)
+                masks = _resize_instances(chans, imgsz).transpose(2, 0, 1)
                 masks = crop_letterbox_masks(masks, ratio, pad, shapes_i, downsample=1)
             elif "mask_bits" in dets and n > 0:
                 import cv2
@@ -455,8 +452,7 @@ class Predictor:
                 # orders differ only on sub-pixel boundary cells)
                 binm = unpack_mask_bits(dets["mask_bits"][i, :n]).astype(np.float32)
                 chans = np.ascontiguousarray(binm.transpose(1, 2, 0))
-                up = cv2.resize(chans, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
-                masks = ((up[..., None] if up.ndim == 2 else up) > 0.5).astype(np.float32).transpose(2, 0, 1)
+                masks = (_resize_instances(chans, imgsz) > 0.5).astype(np.float32).transpose(2, 0, 1)
                 masks = crop_letterbox_masks(masks, ratio, pad, shapes_i, downsample=1)
             elif "mask_coefs" in dets and n > 0:
                 from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
@@ -581,6 +577,18 @@ class Predictor:
         return run(self.params, self._place_batch(images_u8), self._dev_scalar(conf), self._dev_scalar(iou))
 
 
+def _resize_instances(chans: np.ndarray, imgsz: int) -> np.ndarray:
+    """Bilinear-resize (H, W, n) instance channels to (imgsz, imgsz, n).
+    cv2.resize caps channels at CV_CN_MAX=512, so chunk the instances."""
+    import cv2
+
+    outs = []
+    for i in range(0, chans.shape[-1], 512):
+        up = cv2.resize(chans[..., i : i + 512], (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
+        outs.append(up[..., None] if up.ndim == 2 else up)
+    return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=-1)
+
+
 def _obb_to_xyxy(obb: np.ndarray, shape_hw) -> np.ndarray:
     """Axis-aligned envelope of rotated boxes (for .boxes compatibility)."""
     cx, cy, w, h, r = (obb[:, i] for i in range(5))
@@ -620,10 +628,6 @@ def _assemble_masks(
     keep = (xs >= b[:, 0, None, None]) & (xs < b[:, 2, None, None]) & (ys >= b[:, 1, None, None]) & (ys < b[:, 3, None, None])
     m = (m * keep).astype(np.float32)
     if upsample and len(m):
-        import cv2
-
-        # one multi-channel resize call for all instances
         chans = np.ascontiguousarray(m.transpose(1, 2, 0))  # (Hm, Wm, n)
-        up = cv2.resize(chans, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
-        m = (up[..., None] if up.ndim == 2 else up).transpose(2, 0, 1)
+        m = _resize_instances(chans, imgsz).transpose(2, 0, 1)
     return m

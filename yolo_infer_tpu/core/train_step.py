@@ -153,14 +153,18 @@ def make_optimizer(
     disables warmup entirely (the reference gates on warmup_epochs > 0).
     """
     warmup_steps = min(max(warmup_steps, 0), max(total_steps - 1, 1))
+    # the schedule x-axis spans ALL steps including the warmup window —
+    # ultralytics' lf(epoch) advances during warmup (its scheduler steps
+    # every epoch from epoch 0), so the warmup interp target is the DECAYED
+    # value at the current step, not a frozen lr0 (step-granular here vs the
+    # reference's epoch-granular lf; reference robust_trainer.py:386-396)
     if cos_lr:
-        decay = optax.cosine_decay_schedule(lr, max(total_steps - warmup_steps, 1), alpha=lrf)
+        decay = optax.cosine_decay_schedule(lr, max(total_steps, 1), alpha=lrf)
     else:
-        decay = optax.linear_schedule(lr, lr * lrf, max(total_steps - warmup_steps, 1))
+        decay = optax.linear_schedule(lr, lr * lrf, max(total_steps, 1))
 
     def target_lr(count):
-        # during warmup the interp target is already lr0 (decay starts after)
-        return decay(jnp.maximum(count - warmup_steps, 0))
+        return decay(count)
 
     def decay_mask(params):
         # weight decay on conv/dense kernels only (not BN scale/bias/biases),

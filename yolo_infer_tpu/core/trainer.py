@@ -259,13 +259,19 @@ class YOLO11Trainer:
             last_metrics: Dict[str, Any] = {}
             from yolo_infer_tpu.utils.helpers import device_busy
 
-            with device_busy():  # steps queue back-to-back: epoch is device-bound
-                for bi, batch in enumerate(loader.epoch_batches(epoch)):
-                    self.callbacks.fire("on_batch_start", epoch=epoch, batch=bi)
+            for bi, batch in enumerate(loader.epoch_batches(epoch)):
+                # host-side augmentation/callbacks stay OUTSIDE the busy
+                # window — wrapping the whole loop would read ~100% even when
+                # training is input-bound, which is exactly the stall the
+                # telemetry exists to expose. The periodic metric sync waits
+                # for the queued steps to drain, so the recorded busy time is
+                # a floor on true device occupancy (DeviceDutyTracker docs).
+                self.callbacks.fire("on_batch_start", epoch=epoch, batch=bi)
+                with device_busy():
                     ts, metrics = step_fn(ts, shard_batch(batch, mesh))
-                    self.callbacks.fire("on_batch_end", epoch=epoch, batch=bi, metrics=metrics)
                     if bi == steps_per_epoch - 1 or bi % 50 == 49:
                         last_metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                self.callbacks.fire("on_batch_end", epoch=epoch, batch=bi, metrics=metrics)
             epoch_time = time.perf_counter() - t_epoch
             skipped = int(np.asarray(ts.skipped))
             log.info(

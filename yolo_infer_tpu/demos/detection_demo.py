@@ -165,7 +165,10 @@ class DetectionDemo:
         def drain_one():
             nonlocal total_dets
             dets, frames = pending.popleft()
-            dets = {k: np.asarray(v) for k, v in dets.items() if v is not None}  # sync point
+            # sync point — leave the big packed mask buffer on device: this
+            # drain draws boxes only, and fetching (B, max_det, imgsz,
+            # imgsz/8) per batch would serialize the pipeline on transfers
+            dets = {k: np.asarray(v) for k, v in dets.items() if v is not None and k != "mask_bits_up"}
             for i, frame in enumerate(frames):
                 k = int(dets["num"][i])
                 boxes = scale_boxes(dets["boxes"][i, :k], ratio, pad, frame.shape[:2])

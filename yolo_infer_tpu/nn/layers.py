@@ -257,8 +257,13 @@ def conv_block(
             co = params["w_q"].shape[3]
             # eligibility is batch-aware (trace-time): at large batch the
             # 1-byte HBM residency pays off down to C=64; at small batch only
-            # C>=128 convs beat bf16 (measured sweep — see QuantContext)
-            thresh = ctx.int8_min_channels if x.shape[0] < 64 else min(ctx.int8_min_channels, 64)
+            # C>=128 convs beat bf16 (measured sweep — see QuantContext).
+            # Thresholds beyond any real channel count (>1024) are explicit
+            # exempt-everything requests (the weight-only int8 knob) and must
+            # NOT be clamped by the large-batch rule.
+            thresh = ctx.int8_min_channels
+            if x.shape[0] >= 64 and thresh <= 1024:
+                thresh = min(thresh, 64)
             exempt = min(ci, co) < thresh
             if exempt or (ctx.float_convs is not None and idx in ctx.float_convs):
                 # exempted conv: run dequantized-fp (first-layer exemption)

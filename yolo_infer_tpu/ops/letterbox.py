@@ -61,15 +61,23 @@ def scale_obb(obb: np.ndarray, ratio: float, pad: Tuple[float, float]) -> np.nda
     return out
 
 
+def crop_letterbox_slices(ratio: float, pad: Tuple[float, float], orig_shape_hw: Tuple[int, int], downsample: int = 4) -> Tuple[int, int, int, int]:
+    """(y0, x0, ch, cw) of the content region inside the letterboxed grid —
+    the single source of the rounding rule (crop_letterbox_masks and
+    LazyMasks.shape must agree)."""
+    x0 = int(round(pad[0] / downsample))
+    y0 = int(round(pad[1] / downsample))
+    ch = max(int(round(orig_shape_hw[0] * ratio / downsample)), 1)
+    cw = max(int(round(orig_shape_hw[1] * ratio / downsample)), 1)
+    return y0, x0, ch, cw
+
+
 def crop_letterbox_masks(masks: np.ndarray, ratio: float, pad: Tuple[float, float], orig_shape_hw: Tuple[int, int], downsample: int = 4) -> np.ndarray:
     """Remove the letterbox padding band from proto-grid masks so their aspect
     matches the original image (drawing then only needs a resize)."""
     if masks.size == 0:
         return masks
-    x0 = int(round(pad[0] / downsample))
-    y0 = int(round(pad[1] / downsample))
-    ch = max(int(round(orig_shape_hw[0] * ratio / downsample)), 1)
-    cw = max(int(round(orig_shape_hw[1] * ratio / downsample)), 1)
+    y0, x0, ch, cw = crop_letterbox_slices(ratio, pad, orig_shape_hw, downsample)
     return masks[:, y0 : y0 + ch, x0 : x0 + cw]
 
 

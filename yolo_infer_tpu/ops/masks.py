@@ -28,6 +28,35 @@ from jax import lax
 _BIT_WEIGHTS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.int32)  # MSB-first
 
 
+def _instance_logits_and_crop(p, c, bx, imgsz):
+    """Shared per-image body of every assembly mode: (Hm*Wm,nm)@(nm,max_det)
+    mask logits plus the box crop mask at proto resolution. One definition so
+    the crop convention (xyxy, right/bottom-exclusive) cannot diverge
+    between modes."""
+    hm, wm, nm = p.shape
+    scale = hm / imgsz
+    ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, :]
+    logits = (p.reshape(-1, nm).astype(jnp.float32) @ c.astype(jnp.float32).T).T.reshape(-1, hm, wm)
+    bxs = bx.astype(jnp.float32) * scale
+    keep = (
+        (xs >= bxs[:, 0, None, None])
+        & (xs < bxs[:, 2, None, None])
+        & (ys >= bxs[:, 1, None, None])
+        & (ys < bxs[:, 3, None, None])
+    )
+    return logits, keep
+
+
+def _bitpack_w(binm):
+    """(n, H, W) bool -> (n, H, W//8) uint8, MSB-first along W."""
+    n, h, w = binm.shape
+    pw = jnp.asarray(_BIT_WEIGHTS)
+    return jnp.sum(
+        binm.reshape(n, h, w // 8, 8).astype(jnp.int32) * pw[None, None, None, :], axis=-1
+    ).astype(jnp.uint8)
+
+
 def assemble_mask_bits(
     proto: jnp.ndarray,  # (B, Hm, Wm, nm)
     coefs: jnp.ndarray,  # (B, max_det, nm)
@@ -40,27 +69,12 @@ def assemble_mask_bits(
     b, hm, wm, nm = proto.shape
     if wm % 8:
         raise ValueError(f"proto width {wm} not a multiple of 8 (imgsz must be a multiple of 32)")
-    scale = hm / imgsz
-    ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, :]
-    pw = jnp.asarray(_BIT_WEIGHTS)
 
     def one(args):
         p, c, bx = args
-        # (Hm*Wm, nm) @ (nm, max_det) -> transpose: (max_det, Hm, Wm) logits
-        logits = (p.reshape(-1, nm).astype(jnp.float32) @ c.astype(jnp.float32).T).T.reshape(-1, hm, wm)
-        bxs = bx.astype(jnp.float32) * scale
-        keep = (
-            (xs >= bxs[:, 0, None, None])
-            & (xs < bxs[:, 2, None, None])
-            & (ys >= bxs[:, 1, None, None])
-            & (ys < bxs[:, 3, None, None])
-        )
-        binm = (logits > 0) & keep
-        packed = jnp.sum(
-            binm.reshape(-1, hm, wm // 8, 8).astype(jnp.int32) * pw[None, None, None, :], axis=-1
-        )
-        return packed.astype(jnp.uint8)
+        logits, keep = _instance_logits_and_crop(p, c, bx, imgsz)
+        # threshold-at-0.5 on a sigmoid == logits > 0
+        return _bitpack_w((logits > 0) & keep)
 
     return lax.map(one, (proto, coefs, boxes_px))
 
@@ -90,28 +104,13 @@ def assemble_mask_bits_up(
     b, hm, wm, nm = proto.shape
     if imgsz % 8:
         raise ValueError(f"imgsz {imgsz} not a multiple of 8")
-    scale = hm / imgsz
-    ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, :]
-    pw = jnp.asarray(_BIT_WEIGHTS)
 
     def one(args):
         p, c, bx = args
-        logits = (p.reshape(-1, nm).astype(jnp.float32) @ c.astype(jnp.float32).T).T.reshape(-1, hm, wm)
-        bxs = bx.astype(jnp.float32) * scale
-        keep = (
-            (xs >= bxs[:, 0, None, None])
-            & (xs < bxs[:, 2, None, None])
-            & (ys >= bxs[:, 1, None, None])
-            & (ys < bxs[:, 3, None, None])
-        )
+        logits, keep = _instance_logits_and_crop(p, c, bx, imgsz)
         soft = jax.nn.sigmoid(logits) * keep
         up = jax.image.resize(soft, (soft.shape[0], imgsz, imgsz), method="bilinear")
-        binm = up > 0.5
-        packed = jnp.sum(
-            binm.reshape(-1, imgsz, imgsz // 8, 8).astype(jnp.int32) * pw[None, None, None, :], axis=-1
-        )
-        return packed.astype(jnp.uint8)
+        return _bitpack_w(up > 0.5)
 
     return lax.map(one, (proto, coefs, boxes_px))
 
@@ -134,20 +133,10 @@ def assemble_masks_q8(
     than f32. Host side: /255, bilinear upsample, threshold.
     """
     b, hm, wm, nm = proto.shape
-    scale = hm / imgsz
-    ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(wm, dtype=jnp.float32)[None, None, :]
 
     def one(args):
         p, c, bx = args
-        logits = (p.reshape(-1, nm).astype(jnp.float32) @ c.astype(jnp.float32).T).T.reshape(-1, hm, wm)
-        bxs = bx.astype(jnp.float32) * scale
-        keep = (
-            (xs >= bxs[:, 0, None, None])
-            & (xs < bxs[:, 2, None, None])
-            & (ys >= bxs[:, 1, None, None])
-            & (ys < bxs[:, 3, None, None])
-        )
+        logits, keep = _instance_logits_and_crop(p, c, bx, imgsz)
         q = jnp.round(jax.nn.sigmoid(logits) * 255.0) * keep
         return q.astype(jnp.uint8)
 
