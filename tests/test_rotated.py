@@ -53,6 +53,34 @@ def test_rotated_nms_suppression_and_classes():
     assert kept == [0.9, 0.7, 0.6]
 
 
+def test_rotated_nms_multi_label():
+    """multi_label=True (the ultralytics OBB val protocol) emits one candidate
+    per (anchor, class) above conf: an anchor scoring two classes yields two
+    detections, kept apart by class-aware suppression."""
+    rboxes = np.array(
+        [
+            [50, 50, 40, 10, 0.2],
+            [300, 300, 30, 30, 1.0],
+        ],
+        np.float32,
+    )
+    scores = np.zeros((2, 3), np.float32)
+    scores[0, 0] = 0.9
+    scores[0, 1] = 0.6  # same anchor, second class above conf
+    scores[1, 2] = 0.7
+    single = batched_rotated_nms(jnp.asarray(rboxes[None]), jnp.asarray(scores[None]), 0.25, 0.45,
+                                 pre_topk=8, max_det=8)
+    multi = batched_rotated_nms(jnp.asarray(rboxes[None]), jnp.asarray(scores[None]), 0.25, 0.45,
+                                pre_topk=8, max_det=8, multi_label=True)
+    assert int(single["num"][0]) == 2  # argmax class only
+    assert int(multi["num"][0]) == 3
+    sc = np.asarray(multi["scores"][0]).astype(np.float64).round(2)
+    assert sorted(sc[:3].tolist(), reverse=True) == [0.9, 0.7, 0.6]
+    # the two detections of anchor 0 carry distinct classes
+    cls0 = sorted(int(c) for c, s in zip(np.asarray(multi["classes"][0]), sc) if s in (0.9, 0.6))
+    assert cls0 == [0, 1]
+
+
 def test_obb_model_predict():
     from yolo_infer_tpu.core.model import YOLO11Model
 

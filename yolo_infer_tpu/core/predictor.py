@@ -244,6 +244,9 @@ class Predictor:
                 return batched_rotated_nms(
                     rboxes, scores, conf, iou, pre_topk=pre_topk, max_det=max_det,
                     impl="xla" if self.mesh is not None else "auto",
+                    # ultralytics runs OBB val with multi_label=True — honor
+                    # the request instead of silently dropping to single-label
+                    multi_label=multi_label,
                 )
             if multi_label:
                 boxes, scores = decode_detections(out["feats"], spec.nc, spec.reg_max, spec.strides)

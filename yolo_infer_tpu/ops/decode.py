@@ -116,14 +116,8 @@ def decode_detections(
     DFL runs in f32 here (the val-accuracy path); the speed path is
     decode_boxes_logits + batched_nms_from_logits.
     """
-    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    anchor_points, strd = make_anchors(feat_shapes, strides)
-    b = feats[0].shape[0]
-    flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in feats], axis=1)
-    box_dist, cls_logits = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
-    dist = dfl_expectation(box_dist, reg_max)
+    dist, scores, anchor_points, strd = decode_raw(feats, nc, reg_max, strides)
     boxes = dist2bbox(dist, anchor_points[None]) * strd[None]
-    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     return boxes, scores
 
 
@@ -138,6 +132,10 @@ def decode_raw(
     Shared front half of box decode; OBB combines the distances with a decoded
     angle (ops.rotated.dist2rbox) instead of dist2bbox.
     """
+    if feats[0].shape[-1] != 4 * reg_max + nc:
+        raise ValueError(
+            f"head channels {feats[0].shape[-1]} != 4*reg_max+nc = {4 * reg_max + nc} "
+            "(wrong reg_max/nc for this head?)")
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchor_points, strd = make_anchors(feat_shapes, strides)
     b = feats[0].shape[0]

@@ -180,7 +180,7 @@ def nms_keep_mask(sup_boxes: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.nda
     import os
 
     env = os.environ.get("YOLO_NMS_IMPL", "auto")
-    if impl != "xla" and env != "xla" and (env == "pallas" or _on_tpu()):
+    if impl != "xla" and env != "xla" and (impl == "pallas" or env == "pallas" or _on_tpu()):
         from yolo_infer_tpu.ops.pallas.nms_fused import nms_keep_pallas
 
         return nms_keep_pallas(sup_boxes, valid, iou_thres, interpret=not _on_tpu())

@@ -50,16 +50,10 @@ def _cov(boxes: jnp.ndarray):
     return a, b, c
 
 
-def probiou_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
-    """Pairwise probIoU: (N, 5) x (M, 5) -> (N, M) in [0, 1]."""
-    a1, b1, c1 = _cov(boxes1)
-    a2, b2, c2 = _cov(boxes2)
-    x1, y1 = boxes1[..., 0], boxes1[..., 1]
-    x2, y2 = boxes2[..., 0], boxes2[..., 1]
-
-    a1, b1, c1, x1, y1 = (v[:, None] for v in (a1, b1, c1, x1, y1))
-    a2, b2, c2, x2, y2 = (v[None, :] for v in (a2, b2, c2, x2, y2))
-
+def _probiou_from_terms(a1, b1, c1, x1, y1, a2, b2, c2, x2, y2, eps):
+    """Bhattacharyya/Hellinger probIoU from broadcast covariance terms — the
+    ONE copy of the clamp chain (padding-row finiteness depends on the det
+    clamps living inside the sqrt; ops/pallas/nms_fused.py mirrors it)."""
     dx = x1 - x2
     dy = y1 - y2
     sa = a1 + a2
@@ -80,20 +74,23 @@ def probiou_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-7) 
     return 1.0 - hd
 
 
+def probiou_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Pairwise probIoU: (N, 5) x (M, 5) -> (N, M) in [0, 1]."""
+    a1, b1, c1 = _cov(boxes1)
+    a2, b2, c2 = _cov(boxes2)
+    x1, y1 = boxes1[..., 0], boxes1[..., 1]
+    x2, y2 = boxes2[..., 0], boxes2[..., 1]
+    a1, b1, c1, x1, y1 = (v[:, None] for v in (a1, b1, c1, x1, y1))
+    a2, b2, c2, x2, y2 = (v[None, :] for v in (a2, b2, c2, x2, y2))
+    return _probiou_from_terms(a1, b1, c1, x1, y1, a2, b2, c2, x2, y2, eps)
+
+
 def probiou_pairs(b1: jnp.ndarray, b2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     """Element-aligned probIoU for identically-shaped (..., 5) boxes."""
     a1, b1_, c1 = _cov(b1)
     a2, b2_, c2 = _cov(b2)
-    dx = b1[..., 0] - b2[..., 0]
-    dy = b1[..., 1] - b2[..., 1]
-    sa, sb, sc = a1 + a2, b1_ + b2_, c1 + c2
-    denom = sa * sb - sc**2 + eps
-    t1 = (sb * dx**2 + sa * dy**2 - 2 * sc * dx * dy) / denom * 0.25
-    det1 = jnp.maximum(a1 * b1_ - c1**2, eps)
-    det2 = jnp.maximum(a2 * b2_ - c2**2, eps)
-    t3 = jnp.log(denom / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
-    bd = jnp.clip(t1 + t3, eps, 100.0)
-    return 1.0 - jnp.sqrt(jnp.maximum(1.0 - jnp.exp(-bd), eps))
+    return _probiou_from_terms(a1, b1_, c1, b1[..., 0], b1[..., 1],
+                               a2, b2_, c2, b2[..., 0], b2[..., 1], eps)
 
 
 def rotated_nms_keep_mask(sup: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.ndarray, k: int, impl: str = "auto") -> jnp.ndarray:
@@ -111,7 +108,7 @@ def rotated_nms_keep_mask(sup: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.n
     import os
 
     env = os.environ.get("YOLO_NMS_IMPL", "auto")
-    if impl != "xla" and env != "xla" and (env == "pallas" or _on_tpu()):
+    if impl != "xla" and env != "xla" and (impl == "pallas" or env == "pallas" or _on_tpu()):
         from yolo_infer_tpu.ops.pallas.nms_fused import rotated_nms_keep_pallas
 
         ca, cb_, cc = _cov(sup)
@@ -124,7 +121,7 @@ def rotated_nms_keep_mask(sup: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.n
     return jax.vmap(one)(sup, valid)
 
 
-@partial(jax.jit, static_argnames=("pre_topk", "max_det", "impl"))
+@partial(jax.jit, static_argnames=("pre_topk", "max_det", "impl", "multi_label"))
 def batched_rotated_nms(
     rboxes: jnp.ndarray,  # (B, A, 5) xywhr, letterboxed pixels
     scores: jnp.ndarray,  # (B, A, nc)
@@ -134,21 +131,31 @@ def batched_rotated_nms(
     pre_topk: int = 1024,
     max_det: int = 300,
     impl: str = "auto",  # "xla" forces sort+fixpoint (meshed serving)
+    multi_label: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Single-label rotated NMS, batched end to end (no vmap): exact
-    ApproxTopK candidate selection and the fused Pallas probIoU keep kernel
-    on TPU (see ops.nms._exact_topk / rotated_nms_keep_mask)."""
+    """Rotated NMS, batched end to end (no vmap): exact ApproxTopK candidate
+    selection and the fused Pallas probIoU keep kernel on TPU (see
+    ops.nms._exact_topk / rotated_nms_keep_mask). multi_label=True emits one
+    candidate per (anchor, class) pair above conf — the ultralytics val
+    protocol for OBB, matching the axis-aligned batched_nms."""
     conf_thres = jnp.asarray(conf_thres, jnp.float32)
     iou_thres = jnp.asarray(iou_thres, jnp.float32)
     rboxes = rboxes.astype(jnp.float32)
     scores = scores.astype(jnp.float32)
     b, a, nc = scores.shape
-    best = jnp.max(scores, axis=-1)
-    cls_best = jnp.argmax(scores, axis=-1).astype(jnp.float32)
-    cand = jnp.where(best > conf_thres, best, -1.0)
-    k = min(pre_topk, a)
-    top_scores, top_idx = _exact_topk(cand, k, impl)
-    cls = jnp.take_along_axis(cls_best, top_idx, axis=1)
+    if multi_label:
+        cand = jnp.where(scores > conf_thres, scores, -1.0).reshape(b, a * nc)
+        k = min(pre_topk, a * nc)
+        top_scores, top_pair = _exact_topk(cand, k, impl)
+        top_idx = top_pair // nc
+        cls = (top_pair % nc).astype(jnp.float32)
+    else:
+        best = jnp.max(scores, axis=-1)
+        cls_best = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+        cand = jnp.where(best > conf_thres, best, -1.0)
+        k = min(pre_topk, a)
+        top_scores, top_idx = _exact_topk(cand, k, impl)
+        cls = jnp.take_along_axis(cls_best, top_idx, axis=1)
     cb = jnp.take_along_axis(rboxes, top_idx[..., None], axis=1)
     valid = top_scores > 0
     # class-aware: shift centers apart per class
