@@ -28,6 +28,37 @@ def test_sharded_predictor_matches_single_device(tiny_deploy):
     assert placed.sharding.spec[0] == "data"
 
 
+def test_sharded_seg_predictor_masks_match(tiny_seg_deploy):
+    """DP-sharded segment serving: the in-graph mask pipeline (lax.map over
+    the sharded batch axis) must compile under GSPMD and agree with the
+    single-device path."""
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    params, spec = tiny_seg_deploy
+    mesh = create_mesh(n_devices=8)
+    single = Predictor(params, spec, compute_dtype=jnp.float32)
+    sharded = Predictor(params, spec, compute_dtype=jnp.float32, mesh=mesh)
+
+    imgs = [np.random.default_rng(i).integers(0, 255, (64, 64, 3), dtype=np.uint8) for i in range(8)]
+    ra = single.predict(imgs, conf=0.001, imgsz=64)
+    rb = sharded.predict(imgs, conf=0.001, imgsz=64)
+    assert [len(r) for r in ra] == [len(r) for r in rb]
+    assert any(len(r) for r in ra)
+    for x, y in zip(ra, rb):
+        if x.masks is None:
+            assert y.masks is None
+            continue
+        np.testing.assert_array_equal(np.asarray(x.masks), np.asarray(y.masks))
+
+
+@pytest.fixture(scope="module")
+def tiny_seg_deploy():
+    from yolo_infer_tpu.models import build_model, fold_model
+
+    params, state, spec = build_model(jax.random.PRNGKey(0), "segment", "n", nc=3)
+    return fold_model(params, state), spec
+
+
 def test_qat_training_smoke(tmp_path):
     import cv2
 
