@@ -184,3 +184,21 @@ def tiny_seg_predictors():
     q8 = Predictor(deploy, spec, compute_dtype=jnp.float32, mask_mode="q8")
     exact = Predictor(deploy, spec, compute_dtype=jnp.float32, mask_mode="exact")
     return dev, q8, exact
+
+
+def test_mask_out_none_skips_mask_assembly(tiny_seg_predictors):
+    """Box-metric val loops request mask_out='none': the compiled program
+    must carry NO mask artifact (nothing computed, nothing to sync), and the
+    compile-cache key must dedupe mask_out=None vs an explicit mask_out equal
+    to the predictor's own mask_mode (identical programs, one compile)."""
+    p_dev, _, _ = tiny_seg_predictors
+    img = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+    dets = p_dev.predict_raw(img, 0.25, 0.45, 64, mask_out="none")
+    assert not any(k.startswith("mask") or k == "proto" for k in dets), list(dets)
+    # cache normalization: None == default mode -> same entry, no recompile
+    # (the fixture is shared, so assert on KEYS, not cache size)
+    p_dev.predict_raw(img, 0.25, 0.45, 64)  # mask_out=None (default 'device')
+    p_dev.predict_raw(img, 0.25, 0.45, 64, mask_out="device")
+    keys = [k for k in p_dev._cache if k[0] == 1 and k[1] == (64, 64) and k[-1] == "device"]
+    assert len(keys) == 1, keys
+    assert not any(k[-1] is None for k in p_dev._cache), "un-normalized cache key"

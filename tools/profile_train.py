@@ -35,8 +35,10 @@ def sync(x):
 
 
 def bench(fn, args, runs):
+    t0 = time.perf_counter()
     out = fn(*args)
     sync(out)
+    compile_s = time.perf_counter() - t0  # first call only: trace+compile
     for _ in range(2):
         out = fn(*args)
     sync(out)
@@ -44,7 +46,7 @@ def bench(fn, args, runs):
     for _ in range(runs):
         out = fn(*args)
     sync(out)
-    return (time.perf_counter() - t0) / runs * 1e3
+    return (time.perf_counter() - t0) / runs * 1e3, compile_s
 
 
 def main():
@@ -96,8 +98,10 @@ def main():
     for name in stages:
         t0 = time.perf_counter()
         if name == "full":
-            # the real step donates ts buffers — time it statefully
-            st = ts
+            # the real step donates its input buffers — run it on a COPY so
+            # stages listed after 'full' (STAGES order is caller-chosen)
+            # still see live ts.params/bn_state
+            st = ts.with_tree(jax.tree_util.tree_map(jnp.copy, ts.tree()))
             st, met = step(st, batch)
             sync(met)
             compile_s = time.perf_counter() - t0
@@ -111,8 +115,7 @@ def main():
             ms = (time.perf_counter() - t0) / runs * 1e3
         else:
             fn, args = defs[name]
-            ms = bench(fn, args, runs)
-            compile_s = time.perf_counter() - t0
+            ms, compile_s = bench(fn, args, runs)
         rec = {
             "stage": name, "cum_ms": round(ms, 2), "marginal_ms": round(ms - prev, 2),
             "imgs_per_s": round(b / ms * 1e3, 1), "compile_s": round(compile_s, 1),

@@ -30,36 +30,24 @@ DEFAULT_HYP = {
 EPS = 1e-9
 
 
-def task_aligned_assigner(
-    pd_scores: jnp.ndarray,  # (B, A, nc) sigmoided
-    pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy pixels
-    anc_points: jnp.ndarray,  # (A, 2) pixels
-    gt_labels: jnp.ndarray,  # (B, M) int32
-    gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy pixels
-    mask_gt: jnp.ndarray,  # (B, M) bool
-    *,
-    topk: int = 10,
-    alpha: float = 0.5,
-    beta: float = 6.0,
+def _assign_from_align(
+    align: jnp.ndarray,  # (B, M, A) alignment metric cls^alpha * ovl^beta
+    overlaps: jnp.ndarray,  # (B, M, A) gt-vs-pred overlap (CIoU or probIoU)
+    gate: jnp.ndarray,  # (B, M, A) bool: anchor inside gt AND gt valid
+    gt_labels: jnp.ndarray,  # (B, M) int
+    gt_boxes: jnp.ndarray,  # (B, M, F) target geometry (F=4 xyxy / F=5 rbox)
+    nc: int,
+    topk: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (target_bboxes (B,A,4), target_scores (B,A,nc), fg_mask (B,A),
+    """Shared TAL core: top-k gating, multi-gt conflict resolution, one-hot
+    target gathers, and soft-score normalization. Used by BOTH the
+    axis-aligned assigner and obb_loss's rotated assigner — the overlap
+    function (CIoU vs probIoU) and in-gt gate are the only differences, so
+    any fix to the selection semantics lands in one place.
+
+    Returns (target_boxes (B,A,F), target_scores (B,A,nc), fg_mask (B,A),
     target_gt_idx (B,A))."""
-    b, a, nc = pd_scores.shape
-    m = gt_labels.shape[1]
-
-    # anchors inside gt boxes: (B, M, A)
-    lt = anc_points[None, None, :, :] - gt_bboxes[:, :, None, :2]
-    rb = gt_bboxes[:, :, None, 2:] - anc_points[None, None, :, :]
-    mask_in_gts = jnp.min(jnp.concatenate([lt, rb], axis=-1), axis=-1) > EPS
-
-    # alignment metric
-    cls_scores = jnp.take_along_axis(
-        pd_scores.transpose(0, 2, 1), gt_labels.clip(0)[:, :, None], axis=1
-    )  # (B, M, A)
-    overlaps = bbox_iou_aligned(
-        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], kind="ciou"
-    ).clip(0)  # (B, M, A)
-    align = (cls_scores**alpha) * (overlaps**beta)
+    m, a = align.shape[1], align.shape[2]
 
     # top-k anchors per gt. Only the k-th best VALUE is needed; the exact
     # ApproxTopK lowering (ops/nms.py _exact_topk) avoids lax.top_k's full
@@ -67,7 +55,6 @@ def task_aligned_assigner(
     # stage at n/b32 (tools/profile_loss.py)
     from yolo_infer_tpu.ops.nms import _exact_topk
 
-    gate = mask_in_gts & mask_gt[:, :, None]
     cand = jnp.where(gate, align, -1.0)
     kth = _exact_topk(cand, min(topk, a))[0][..., -1:]  # k-th best value per gt
     mask_topk = (cand >= jnp.maximum(kth, 0.0)) & (cand > 0)
@@ -86,16 +73,17 @@ def task_aligned_assigner(
     # the gather — vectorized/MXU work instead of the scalar-gather lowering
     # take_along_axis gets on TPU. Background anchors read zeros (the
     # take_along_axis form read gt row 0, a zero padding row in the empty-GT
-    # case anyway); every consumer masks by fg/weight and bbox_iou_aligned
-    # is eps-protected, so zero boxes stay backward-finite.
+    # case anyway); every consumer masks by fg/weight, and both overlap
+    # kernels (eps-protected CIoU, det-clamped probIoU) keep zero boxes
+    # backward-finite.
     mpos_f = mask_pos.astype(jnp.float32)
     # HIGHEST: these contractions ARE gathers — TPU default matmul precision
     # (bf16 operands) would quantize target coords by up to a few px at 640
     # and break exact label ids past nc=256; the contractions are tiny
     tgt_labels = jnp.einsum("bma,bm->ba", mpos_f, gt_labels.clip(0).astype(jnp.float32),
                             precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)  # (B, A)
-    tgt_bboxes = jnp.einsum("bma,bmf->baf", mpos_f, gt_bboxes,
-                            precision=jax.lax.Precision.HIGHEST)  # (B, A, 4)
+    tgt_boxes = jnp.einsum("bma,bmf->baf", mpos_f, gt_boxes,
+                           precision=jax.lax.Precision.HIGHEST)  # (B, A, F)
     tgt_scores = jax.nn.one_hot(tgt_labels, nc, dtype=jnp.float32) * fg_mask[:, :, None]
 
     # normalize scores by per-gt best alignment (soft targets)
@@ -107,7 +95,40 @@ def task_aligned_assigner(
         align_pos * per_gt_max_ovl / (per_gt_max_align + EPS), axis=1
     )  # (B, A)
     tgt_scores = tgt_scores * norm[:, :, None]
-    return tgt_bboxes, tgt_scores, fg_mask, target_gt_idx
+    return tgt_boxes, tgt_scores, fg_mask, target_gt_idx
+
+
+def task_aligned_assigner(
+    pd_scores: jnp.ndarray,  # (B, A, nc) sigmoided
+    pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy pixels
+    anc_points: jnp.ndarray,  # (A, 2) pixels
+    gt_labels: jnp.ndarray,  # (B, M) int32
+    gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy pixels
+    mask_gt: jnp.ndarray,  # (B, M) bool
+    *,
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (target_bboxes (B,A,4), target_scores (B,A,nc), fg_mask (B,A),
+    target_gt_idx (B,A))."""
+    nc = pd_scores.shape[-1]
+
+    # anchors inside gt boxes: (B, M, A)
+    lt = anc_points[None, None, :, :] - gt_bboxes[:, :, None, :2]
+    rb = gt_bboxes[:, :, None, 2:] - anc_points[None, None, :, :]
+    mask_in_gts = jnp.min(jnp.concatenate([lt, rb], axis=-1), axis=-1) > EPS
+
+    # alignment metric
+    cls_scores = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1), gt_labels.clip(0)[:, :, None], axis=1
+    )  # (B, M, A)
+    overlaps = bbox_iou_aligned(
+        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], kind="ciou"
+    ).clip(0)  # (B, M, A)
+    align = (cls_scores**alpha) * (overlaps**beta)
+    gate = mask_in_gts & mask_gt[:, :, None]
+    return _assign_from_align(align, overlaps, gate, gt_labels, gt_bboxes, nc, topk)
 
 
 def _dfl_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.ndarray:
@@ -275,36 +296,15 @@ def obb_loss(
     cls_scores = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), gt_cls.clip(0)[:, :, None], axis=1)
     align = (cls_scores ** hyp.get("tal_alpha", 0.5)) * (overlaps ** hyp.get("tal_beta", 6.0))
 
-    from yolo_infer_tpu.ops.nms import _exact_topk
-
+    # shared TAL core (top-k gate, conflict resolution, one-hot gathers,
+    # score normalization) — only the probIoU overlaps and the rotated-frame
+    # in-gt gate differ from detection_loss. Background anchors read zero
+    # rboxes; probIoU's determinant clamps keep those backward-finite, and
+    # the box loss weight is 0 there.
     gate = mask_in & mask_gt[:, :, None]
-    cand = jnp.where(gate, align, -1.0)
-    kth = _exact_topk(cand, min(int(hyp.get("tal_topk", 10)), a))[0][..., -1:]
-    mask_topk = (cand >= jnp.maximum(kth, 0.0)) & (cand > 0)
-    mask_pos = mask_topk & gate
-    multi = jnp.sum(mask_pos, axis=1, keepdims=True) > 1
-    max_ov_gt = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), axis=1)
-    is_max = jax.nn.one_hot(max_ov_gt, m, dtype=bool).transpose(0, 2, 1)
-    mask_pos = jnp.where(multi, mask_pos & is_max, mask_pos)
-    fg = jnp.any(mask_pos, axis=1)
-    tgt_idx = jnp.argmax(mask_pos, axis=1)
-
-    # one-hot contractions instead of scalar gathers (see detection_loss);
-    # background anchors read zero rboxes — probIoU's determinant clamps
-    # keep those backward-finite, and the box loss weight is 0 there
-    mpos_f = mask_pos.astype(jnp.float32)
-    tgt_labels = jnp.einsum("bma,bm->ba", mpos_f, gt_cls.clip(0).astype(jnp.float32),
-                            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    tgt_rbox = jnp.einsum("bma,bmf->baf", mpos_f, gt,
-                          precision=jax.lax.Precision.HIGHEST)  # (B, A, 5) px
-    tgt_scores = jax.nn.one_hot(tgt_labels, nc, dtype=jnp.float32) * fg[:, :, None]
-    align_pos = jnp.where(mask_pos, align, 0.0)
-    ovl_pos = jnp.where(mask_pos, overlaps, 0.0)
-    norm = jnp.max(
-        align_pos * jnp.max(ovl_pos, axis=-1, keepdims=True) / (jnp.max(align_pos, axis=-1, keepdims=True) + EPS),
-        axis=1,
+    tgt_rbox, tgt_scores, fg, _tgt_idx = _assign_from_align(
+        align, overlaps, gate, gt_cls, gt, nc, int(hyp.get("tal_topk", 10))
     )
-    tgt_scores = tgt_scores * norm[:, :, None]
     tss = jnp.maximum(jnp.sum(tgt_scores), 1.0)
 
     loss_cls = jnp.sum(optax_sigmoid_bce(cls_logits, tgt_scores)) / tss

@@ -344,7 +344,7 @@ class YOLO11Model:
         import contextlib
 
         n_windows = max(3, min(5, runs // 10)) if runs >= 6 else 1
-        per_window = max(runs // n_windows, 1)
+        per_window = -(-runs // n_windows)  # ceil: execute AT LEAST `runs`
         window_avgs = []
         trace_cm = jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
         from yolo_infer_tpu.utils.helpers import device_busy
@@ -371,7 +371,7 @@ class YOLO11Model:
         return {
             "imgsz": imgsz,
             "batch": batch,
-            "runs": runs,
+            "runs": n_windows * per_window,  # actual executed sustained runs
             "avg_time_s": sustained,  # median sustained window
             "std_time_s": float(windows_np.std()),  # across windows, not calls
             "window_avgs_ms": [round(w * 1e3, 3) for w in window_avgs],

@@ -55,8 +55,11 @@ class LazyMasks:
 
     Holds a slice reference into the batch's bit-packed (B, max_det, imgsz,
     imgsz//8) uint8 device buffer (ops/masks.py assemble_mask_bits_up) and
-    behaves like the (n, ch, cw) float32 binary array the eager paths
-    return. This mirrors the reference, where ``Results.masks`` is a CUDA
+    behaves like an (n, ch, cw) float32 array of BINARY {0, 1} masks — the
+    ultralytics ``process_mask(upsample=True).gt_(0.5)`` serving semantic
+    (note: the 'exact'/'q8' modes instead return SOFT sigmoid masks for
+    callers that threshold themselves; see Predictor ``mask_mode``).
+    This mirrors the reference, where ``Results.masks`` is a CUDA
     tensor that only hits the host when read: predict() never pays a mask
     transfer on the hot path, and at serving confidences the on-access
     transfer is a few hundred KB (n·imgsz²/8 bytes for the n real rows).
@@ -158,11 +161,16 @@ class Predictor:
         #   (process_mask(upsample=True).gt_(0.5) order, interpolation on
         #   the accelerator like the reference's F.interpolate), bit-packed;
         #   Results.masks is a LazyMasks view that stays on device until read
-        # "q8": in-graph sigmoid+crop, uint8-quantized SOFT masks; host
-        #   upsamples floats then thresholds (same order within 1/510)
-        # "bits": in-graph 0.5-threshold at proto res, bit-packed — the val
-        #   comparison semantic, 8x less transfer
+        # "q8": in-graph sigmoid+crop, uint8-quantized masks; host upsamples
+        #   floats (same order within 1/510)
+        # "bits": in-graph 0.5-threshold at proto res, bit-packed, host
+        #   re-thresholds after upsample — 8x less transfer
         # "exact": host float path, no quantization (parity oracle)
+        # Results.masks values: "device"/"bits" are BINARY {0,1} (the
+        # ultralytics .gt_(0.5) serving semantic); "q8"/"exact" stay SOFT
+        # sigmoid probabilities so callers can pick their own threshold.
+        # predict_raw additionally accepts mask_out="none" (skip mask
+        # assembly entirely — box-metric validation).
     ):
         self.params = params
         self.spec = spec
@@ -278,7 +286,7 @@ class Predictor:
                 dets["kpts"] = jnp.take_along_axis(
                     kdec, dets["anchor_idx"][..., None, None], axis=1
                 )  # (B, max_det, K, 3)
-            elif spec.task == "segment":
+            elif spec.task == "segment" and (mask_out or self.mask_mode) != "none":
                 b = out["mc"][0].shape[0]
                 mc = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in out["mc"]], axis=1)
                 coefs = jnp.take_along_axis(
@@ -321,6 +329,10 @@ class Predictor:
 
     def _get(self, batch: int, src_hw: Tuple[int, int], imgsz: int, multi_label: bool, max_det: int, pre_topk: Optional[int] = None, mask_out: Optional[str] = None):
         pre_topk = pre_topk or self.pre_topk
+        # normalize so mask_out=None and an explicit mask_out == mask_mode hit
+        # the SAME cache entry (a byte-identical program; a second remote
+        # compile costs 10-90 s through the tunnel)
+        mask_out = mask_out or self.mask_mode
         key = (batch, src_hw, imgsz, multi_label, max_det, pre_topk, mask_out)
         if key not in self._cache:
             self._cache[key] = self._build(src_hw, imgsz, multi_label, max_det, pre_topk, mask_out)
@@ -431,8 +443,6 @@ class Predictor:
                 # bit-packed) and stay on device until read
                 masks = LazyMasks(dets["mask_bits_up"], i, n, ratio, pad, shapes_i, imgsz)
             elif "mask_q8" in dets and n > 0:
-                import cv2
-
                 from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
 
                 # device mode: dequantize the n real soft masks, bilinear-
@@ -444,8 +454,6 @@ class Predictor:
                 masks = _resize_instances(chans, imgsz).transpose(2, 0, 1)
                 masks = crop_letterbox_masks(masks, ratio, pad, shapes_i, downsample=1)
             elif "mask_bits" in dets and n > 0:
-                import cv2
-
                 from yolo_infer_tpu.ops.letterbox import crop_letterbox_masks
                 from yolo_infer_tpu.ops.masks import unpack_mask_bits
 
@@ -573,8 +581,10 @@ class Predictor:
         raises it: at conf=0.001 x multi_label the above-threshold
         (anchor, class) pool can exceed the serving default). `mask_out`
         overrides the segment mask artifact ("q8" soft / "bits" binary /
-        "exact" proto+coefs); the validator requests "bits" — binarize at
-        proto res IS the val comparison semantic, at 8x less transfer."""
+        "exact" proto+coefs / "none" skip mask assembly entirely); the mask
+        validator requests "bits" — binarize at proto res IS the val
+        comparison semantic, at 8x less transfer — and box-metric-only
+        loops request "none"."""
         md = max_det or self.max_det
         run = self._get(images_u8.shape[0], tuple(images_u8.shape[1:3]), imgsz, multi_label, md, pre_topk, mask_out)
         return run(self.params, self._place_batch(images_u8), self._dev_scalar(conf), self._dev_scalar(iou))

@@ -197,8 +197,13 @@ class YOLO11Trainer:
         steps_per_epoch = len(loader)
         total_steps = steps_per_epoch * cfg.epochs
         # reference warmup window: max(round(warmup_epochs * nb), 100) batches,
-        # gated on warmup_epochs > 0 (reference robust_trainer.py:383-385)
-        warmup_steps = max(round(cfg.warmup_epochs * steps_per_epoch), 100) if cfg.warmup_epochs > 0 else 0
+        # gated on warmup_epochs > 0 (reference robust_trainer.py:383-385).
+        # The 100-batch floor is reference-exact for any real run (>=300
+        # steps); for tiny smoke/fine-tune runs it would swallow the whole
+        # schedule (never reaching the decay regime), so the FLOOR — not an
+        # explicit warmup_epochs window — is capped at a third of the run.
+        floor = min(100, max(total_steps // 3, 1))
+        warmup_steps = max(round(cfg.warmup_epochs * steps_per_epoch), floor) if cfg.warmup_epochs > 0 else 0
 
         model = self.model
         if model.nc != train_ds.nc:

@@ -292,10 +292,9 @@ class YOLO11Validator:
         for batch_data in ds.iter_val_batches(batch_size=batch, imgsz=imgsz):
             dets = predictor.predict_raw(
                 jnp.asarray(batch_data["images"]), conf, iou, imgsz, multi_label=True, pre_topk=pre_topk,
-                # box-metric path: request the small proto-res val artifact so
-                # the serving default (upsampled packed masks) isn't computed
-                # and synced wholesale below
-                mask_out="bits" if predictor.spec.task == "segment" else None,
+                # box-metric path never reads masks: skip mask assembly and
+                # the per-batch mask transfer entirely
+                mask_out="none" if predictor.spec.task == "segment" else None,
             )
             dets_np = {k2: np.asarray(v) for k2, v in dets.items() if v is not None}
             for i in range(batch_data["n"]):
