@@ -202,3 +202,19 @@ def test_mask_out_none_skips_mask_assembly(tiny_seg_predictors):
     keys = [k for k in p_dev._cache if k[0] == 1 and k[1] == (64, 64) and k[-1] == "device"]
     assert len(keys) == 1, keys
     assert not any(k[-1] is None for k in p_dev._cache), "un-normalized cache key"
+
+
+@pytest.mark.parametrize("shape", [(160, 640), (16, 64), (20, 48)])
+def test_bilinear_matmul_matches_jax_image_resize(shape):
+    """The MXU matmul upsample must reproduce jax.image.resize bilinear
+    exactly (it is the same linear map as two dense matrices)."""
+    import jax
+
+    from yolo_infer_tpu.ops.masks import _upsample_bilinear_mm
+
+    in_s, out_s = shape
+    rng = np.random.default_rng(0)
+    m = jnp.asarray(rng.random((5, in_s, in_s)).astype(np.float32))
+    want = jax.image.resize(m, (5, out_s, out_s), method="bilinear")
+    got = _upsample_bilinear_mm(m, (out_s, out_s))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)

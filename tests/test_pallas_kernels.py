@@ -150,3 +150,25 @@ def test_fused_attention_kernel_matches_xla(n, kd, hd, heads):
     want = np.asarray(jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                                           preferred_element_type=jnp.float32).astype(jnp.bfloat16), np.float32)
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_mask_pack_kernel_matches_xla_phase_path():
+    """upsample4x_threshold_pack (interpret mode) == the XLA phase-decomposed
+    reference on random soft masks, bit-exact."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from yolo_infer_tpu.ops.masks import _upsample_threshold_pack
+    from yolo_infer_tpu.ops.pallas.mask_pack import upsample4x_threshold_pack
+
+    rng = np.random.default_rng(0)
+    n, hm, wm = 8, 16, 16
+    soft = rng.random((n, hm, wm)).astype(np.float32)
+    want = np.asarray(_upsample_threshold_pack(jnp.asarray(soft), 4))
+    got = np.asarray(
+        upsample4x_threshold_pack(
+            jnp.asarray(soft[..., 0::2]), jnp.asarray(soft[..., 1::2]), interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)

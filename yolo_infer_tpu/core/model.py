@@ -336,28 +336,34 @@ class YOLO11Model:
         if out is not None:
             sync(out)
 
-        # sustained throughput, measured in WINDOWS: queue a window of runs,
-        # sync once per window, and take the MEDIAN window — one tunnel
-        # hiccup then shifts a single window instead of polluting the whole
-        # measurement (VERDICT r2: std_ms 7.9 was tunnel weather). Optionally
+        # sustained throughput: `runs` dispatches queued back-to-back with ONE
+        # final sync, REPEATED 3x, median repeat — r01/r02's amortization
+        # (the sync's ~34 ms tunnel RTT spreads over all `runs`, ~0.3 ms at
+        # runs=100) with weather-robustness across repeats (one tunnel hiccup
+        # shifts one repeat, not the round; VERDICT r2: std_ms 7.9 was
+        # weather). Finer-grained windowing was tried and reverted twice: the
+        # tunnel's command stream is strictly FIFO, so a per-window sync
+        # idles the device one RTT per window (read ~1 ms/batch slow), while
+        # queueing everything before the first fetch makes that fetch drain
+        # the WHOLE queue and later deltas measure only the RTT. Optionally
         # traced — the TPU answer to the reference's no-tracer gap (SURVEY §5).
         import contextlib
 
-        n_windows = max(3, min(5, runs // 10)) if runs >= 6 else 1
-        per_window = -(-runs // n_windows)  # ceil: execute AT LEAST `runs`
-        window_avgs = []
+        n_repeats = 3 if runs >= 6 else 1
         trace_cm = jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
         from yolo_infer_tpu.utils.helpers import device_busy
 
+        repeat_avgs = []
         with trace_cm:
-            for _ in range(n_windows):
-                with device_busy():  # feeds the duty-cycle telemetry
+            with device_busy():  # feeds the duty-cycle telemetry
+                for _ in range(n_repeats):
                     t0 = time.perf_counter()
-                    for _ in range(per_window):
+                    for _ in range(runs):
                         out = self.predictor.predict_raw(dev_images, conf, iou, imgsz)
                     sync(out)
-                window_avgs.append((time.perf_counter() - t0) / per_window)
-        windows_np = np.array(window_avgs)
+                    repeat_avgs.append((time.perf_counter() - t0) / runs)
+        windows_np = np.array(repeat_avgs)
+        window_avgs = repeat_avgs
         sustained = float(np.median(windows_np))
 
         # per-call latency (includes one host<->device round-trip per call)
@@ -371,7 +377,7 @@ class YOLO11Model:
         return {
             "imgsz": imgsz,
             "batch": batch,
-            "runs": n_windows * per_window,  # actual executed sustained runs
+            "runs": n_repeats * runs,  # actual executed sustained runs
             "avg_time_s": sustained,  # median sustained window
             "std_time_s": float(windows_np.std()),  # across windows, not calls
             "window_avgs_ms": [round(w * 1e3, 3) for w in window_avgs],

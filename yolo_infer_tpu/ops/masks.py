@@ -27,6 +27,105 @@ from jax import lax
 
 _BIT_WEIGHTS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.int32)  # MSB-first
 
+_RESIZE_W_CACHE: dict = {}
+
+
+def _bilinear_resize_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) f32 interpolation-weight matrix reproducing
+    ``jax.image.resize(method='bilinear')`` along one axis (half-pixel
+    centers, edge-clamped taps). Bilinear resize is a linear map, so the
+    matrix is EXACT. Non-integer-ratio fallback only — the serving case
+    (integer ratio) goes through the fused Pallas kernel; see the cost
+    history in ops/pallas/mask_pack.py. Rows have <=2 nonzeros; the
+    640x160 constant is 400 KB and baked into the executable."""
+    key = (out_size, in_size)
+    if key not in _RESIZE_W_CACHE:
+        i = np.arange(out_size, dtype=np.float64)
+        src = (i + 0.5) * (in_size / out_size) - 0.5
+        lo = np.floor(src).astype(np.int64)
+        frac = src - lo
+        w = np.zeros((out_size, in_size), np.float32)
+        rows = np.arange(out_size)
+        np.add.at(w, (rows, np.clip(lo, 0, in_size - 1)), (1.0 - frac).astype(np.float32))
+        np.add.at(w, (rows, np.clip(lo + 1, 0, in_size - 1)), frac.astype(np.float32))
+        # cache NUMPY (a jnp array built under a trace would leak the tracer)
+        _RESIZE_W_CACHE[key] = w
+    return _RESIZE_W_CACHE[key]
+
+
+def _phase_taps(m: jnp.ndarray, r: int, axis: int):
+    """Per-phase 2-tap bilinear reads for an integer upsample ratio r along
+    `axis`: output index i*r+k = w0_k*m[i+d_k] + w1_k*m[i+d_k+1] with
+    phase-constant offset off_k = (k+0.5)/r - 0.5 and edge-clamped taps —
+    jax.image.resize half-pixel semantics. Yields r arrays shaped like m
+    (phase-major, UN-interleaved: interleaving along a minor axis is a lane
+    shuffle Mosaic pays dearly for — the caller folds the interleave into a
+    cheap contiguous merge or the bit-pack instead)."""
+    s0 = m
+    s_m1 = jnp.concatenate([lax.slice_in_dim(m, 0, 1, axis=axis), lax.slice_in_dim(m, 0, -1, axis=axis)], axis=axis)
+    s_p1 = jnp.concatenate([lax.slice_in_dim(m, 1, None, axis=axis), lax.slice_in_dim(m, -1, None, axis=axis)], axis=axis)
+    for k in range(r):
+        off = (k + 0.5) / r - 0.5
+        if off < 0:
+            yield (-off) * s_m1 + (1.0 + off) * s0
+        else:
+            yield (1.0 - off) * s0 + off * s_p1
+
+
+def _upsample_threshold_pack(soft: jnp.ndarray, r: int, thresh: float = 0.5) -> jnp.ndarray:
+    """(n, h, w) f32 -> bit-packed (n, r*h, r*w//8) uint8 of
+    ``bilinear_upsample_rx(soft) > thresh`` — the whole serving mask tail in
+    one fused elementwise program.
+
+    The naive form (materialize the (n, rh, rw) f32 upsample, threshold,
+    pack) moves ~0.5 GB/image through HBM at n=300, imgsz=640 and measured
+    92-113 ms/batch at b32 however the resize is computed (VPU gather,
+    dense MXU matmuls, phase+interleave). This form never builds the
+    upsampled image: phases stay un-interleaved, the threshold binarizes at
+    source resolution per (H-phase, W-phase), and the W-interleave is folded
+    into the BIT-PACK — out pixel 8B+j reads W-phase j%%r of source column
+    rB//? ... concretely for r=4: bits 0-3 of byte B are W-phases 0-3 of src
+    col 2B, bits 4-7 are W-phases 0-3 of col 2B+1, so the byte is a weighted
+    sum of phase arrays reshaped (w) -> (w/2, 2) — contiguous splits and
+    merges only, no lane shuffles. The H-interleave is a free row-major
+    merge of (h, r) -> rh. Requires (r*w) %% 8 == 0."""
+    n, h, w = soft.shape
+    rw = r * w
+    if rw % 8:
+        raise ValueError(f"r*w = {rw} not a multiple of 8")
+    cols_per_byte = 8 // r if r <= 8 else 1  # src cols feeding one byte
+    out_kh = []
+    for rowk in _phase_taps(soft, r, axis=1):  # H-phase kh: (n, h, w)
+        # W phases of this H-phase row set, binarized at source layout
+        bits = [(c > thresh) for c in _phase_taps(rowk, r, axis=2)]  # r x (n,h,w)
+        # byte B covers out cols 8B..8B+7 = W-phases 0..r-1 of src cols
+        # B*cpb .. B*cpb+cpb-1 (cpb = 8/r); bit j (MSB-first) = phase j%r of
+        # src col B*cpb + j//r
+        byte = None
+        for j in range(8):
+            kw, p = j % r, j // r
+            # src cols p, p+cpb, p+2*cpb, ... -> contiguous (w/cpb, cpb) split
+            part = bits[kw].reshape(n, h, w // cols_per_byte, cols_per_byte)[..., p]
+            term = part.astype(jnp.int32) * int(_BIT_WEIGHTS[j])
+            byte = term if byte is None else byte + term
+        out_kh.append(byte.astype(jnp.uint8))  # (n, h, rw//8)
+    out = jnp.stack(out_kh, axis=2)  # (n, h, r, rw//8) — sublane-side stack
+    return out.reshape(n, r * h, rw // 8)  # row-major merge: free
+
+
+def _upsample_bilinear_mm(m: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """(n, h, w) -> (n, H, W) bilinear upsample exactly matching
+    ``jax.image.resize(..., method='bilinear')`` (tests pin this), f32-exact
+    (the output is thresholded at 0.5; bf16-pass error ~2e-3 would flip
+    near-threshold cells), as two dense interpolation-matrix MXU matmuls.
+    Used as the non-integer-ratio fallback; the serving path (integer ratio)
+    uses the fused _upsample_threshold_pack instead."""
+    hh, ww = out_hw
+    wh = jnp.asarray(_bilinear_resize_matrix(hh, m.shape[1]))
+    wwm = jnp.asarray(_bilinear_resize_matrix(ww, m.shape[2]))
+    up = jnp.einsum("nhw,Hh->nHw", m, wh, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("nHw,Ww->nHW", up, wwm, precision=jax.lax.Precision.HIGHEST)
+
 
 def _instance_logits_and_crop(p, c, bx, imgsz):
     """Shared per-image body of every assembly mode: (Hm*Wm,nm)@(nm,max_det)
@@ -46,6 +145,31 @@ def _instance_logits_and_crop(p, c, bx, imgsz):
         & (ys < bxs[:, 3, None, None])
     )
     return logits, keep
+
+
+def _soft_even_odd(p, c, bx, imgsz):
+    """Sigmoid+cropped mask values for EVEN and ODD source columns as two
+    (max_det, Hm, Wm/2) arrays — the input layout of the fused Pallas pack
+    kernel. Same matmul/crop convention as _instance_logits_and_crop, just
+    computed on proto[:, par::2] (the parity split costs one slice of the
+    3 MB proto instead of a lane shuffle of 30 MB of masks)."""
+    hm, wm, nm = p.shape
+    scale = hm / imgsz
+    ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None]
+    bxs = bx.astype(jnp.float32) * scale
+    out = []
+    for par in (0, 1):
+        pe = p[:, par::2, :]
+        logits = (pe.reshape(-1, nm).astype(jnp.float32) @ c.astype(jnp.float32).T).T.reshape(-1, hm, wm // 2)
+        xs = jnp.arange(par, wm, 2, dtype=jnp.float32)[None, None, :]
+        keep = (
+            (xs >= bxs[:, 0, None, None])
+            & (xs < bxs[:, 2, None, None])
+            & (ys >= bxs[:, 1, None, None])
+            & (ys < bxs[:, 3, None, None])
+        )
+        out.append(jax.nn.sigmoid(logits) * keep)
+    return out[0], out[1]
 
 
 def _bitpack_w(binm):
@@ -105,11 +229,29 @@ def assemble_mask_bits_up(
     if imgsz % 8:
         raise ValueError(f"imgsz {imgsz} not a multiple of 8")
 
+    ratio = imgsz // hm
+    integer_r = imgsz == ratio * hm and imgsz == ratio * wm and 8 % ratio == 0
+    use_kernel = ratio == 4 and wm % 2 == 0  # the serving case (proto stride 4)
+
     def one(args):
         p, c, bx = args
+        if use_kernel:
+            # fused Pallas tail: soft even/odd columns in (the parity split
+            # is free — the proto matmul just runs on proto[:, par::2]),
+            # packed bytes out; VMEM-resident per instance tile. 74 -> 8.5 ms
+            # /batch vs the best XLA form at n/b32/640 (ops/pallas/mask_pack)
+            from yolo_infer_tpu.ops.nms import _on_tpu
+            from yolo_infer_tpu.ops.pallas.mask_pack import upsample4x_threshold_pack
+
+            s_e, s_o = _soft_even_odd(p, c, bx, imgsz)
+            return upsample4x_threshold_pack(s_e, s_o, interpret=not _on_tpu())
         logits, keep = _instance_logits_and_crop(p, c, bx, imgsz)
         soft = jax.nn.sigmoid(logits) * keep
-        up = jax.image.resize(soft, (soft.shape[0], imgsz, imgsz), method="bilinear")
+        if integer_r:
+            # phase-decomposed XLA fallback (never materializes the
+            # (max_det, imgsz, imgsz) f32 image)
+            return _upsample_threshold_pack(soft, ratio)
+        up = _upsample_bilinear_mm(soft, (imgsz, imgsz))
         return _bitpack_w(up > 0.5)
 
     return lax.map(one, (proto, coefs, boxes_px))
