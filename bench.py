@@ -183,35 +183,34 @@ def main() -> None:
             rng = np.random.default_rng(0)
             dev = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
 
-            def once(read_masks):
+            def once():
                 dets = p.predict_raw(dev, 0.25, 0.45, imgsz)
-                num = np.asarray(dets["num"])  # sync (masks stay device-resident)
-                if read_masks:
-                    # the serving read pattern: only the real rows transfer
-                    # (LazyMasks/predict_many semantics), never the padded
-                    # (B, max_det, imgsz, imgsz/8) buffer wholesale
-                    mx = int(num.max(initial=0))
-                    if mx:
-                        np.asarray(dets["mask_bits_up"][:, :mx])
+                np.asarray(dets["num"])  # sync (masks stay device-resident)
+                return dets
 
             for _ in range(3):
-                once(False)
+                once()
             n_runs = 10
             # sustained: queue the runs, sync once (headline convention — a
             # per-call sync adds one tunnel RTT per batch, a tunnel artifact)
             t0 = time.perf_counter()
             for _ in range(n_runs - 1):
                 p.predict_raw(dev, 0.25, 0.45, imgsz)
-            once(False)
+            dets = once()
             lazy = batch / ((time.perf_counter() - t0) / n_runs)
-            once(True)
-            # masks_read stays per-call: real consumers read masks between
-            # dispatches, so the RTT is part of that serving pattern
-            t0 = time.perf_counter()
-            for _ in range(n_runs):
-                once(True)
-            read = batch / ((time.perf_counter() - t0) / n_runs)
-            return {"seg_fps": round(lazy, 1), "seg_fps_masks_read": round(read, 1)}
+            # the LazyMasks serving read, measured per image: one bounded
+            # (k, imgsz, imgsz/8) packed transfer (random-init weights give
+            # num=0 at serving conf, so read a FIXED 30-row budget — what a
+            # typical trained-model scene materializes)
+            k = 30
+            np.asarray(dets["mask_bits_up"][0, :k])
+            reads = []
+            for i in range(5):
+                t0 = time.perf_counter()
+                np.asarray(dets["mask_bits_up"][i % batch, :k])
+                reads.append(time.perf_counter() - t0)
+            return {"seg_fps": round(lazy, 1),
+                    "seg_mask_read_ms_per_image_30rows": round(sorted(reads)[2] * 1e3, 1)}
 
         if os.environ.get("BENCH_SEG", "1") == "1":
             _try("seg", _seg)
