@@ -84,14 +84,18 @@ class YOLO11CLI:
         v.add_argument("--save-json", action="store_true")
         v.add_argument("--output-dir", default=None)
 
-        o = sub.add_parser("optimize", help="quantize a model")
+        o = sub.add_parser("optimize", help="quantize / prune / distill a model")
         o.add_argument("--model-path", default=None)
         o.add_argument("--model-size", default=None, choices=list("nsmlx"))
-        o.add_argument("--method", default=None, choices=["dynamic", "ptq", "qat"])
+        o.add_argument("--method", default=None, choices=["dynamic", "ptq", "qat", "prune", "distill"])
         o.add_argument("--output", default=None)
-        o.add_argument("--data", default=None, help="calibration/QAT dataset yaml")
+        o.add_argument("--data", default=None, help="calibration/QAT/fine-tune dataset yaml")
         o.add_argument("--imgsz", type=int, default=None)
         o.add_argument("--calibration-batches", type=int, default=None)
+        o.add_argument("--sparsity", type=float, default=None, help="prune: target sparsity")
+        o.add_argument("--prune-method", default=None, choices=["magnitude", "structured", "unstructured", "gradual"])
+        o.add_argument("--teacher", default=None, help="distill: teacher model name/path")
+        o.add_argument("--epochs", type=int, default=None, help="prune fine-tune / distill epochs")
 
         b = sub.add_parser("benchmark", help="speed benchmarks")
         b.add_argument("--type", default="sizes", choices=["sizes", "quantization", "throughput", "all"])
@@ -222,6 +226,36 @@ class YOLO11CLI:
         model_path = args.model_path or f"yolo11{self._pick(args.model_size, self._cfg('model', 'size'), 'n')}"
         imgsz = self._pick(args.imgsz, self._cfg("inference", "imgsz"), 640)
         model = YOLO11Model(model_path)
+        if method == "prune":
+            from yolo_infer_tpu.optimization.pruning import create_pruner
+
+            pcfg = self._cfg("optimization", "pruning", default={}) or {}
+            pruner = create_pruner(model, {
+                "method": self._pick(args.prune_method, pcfg.get("method"), "magnitude"),
+                "sparsity": self._pick(args.sparsity, pcfg.get("sparsity"), 0.5),
+            })
+            pruner.optimize(data=args.data, **({"epochs": args.epochs} if args.epochs else {}))
+            out = args.output or f"{Path(model_path).stem}_pruned.msgpack"
+            path = pruner.save_optimized_model(out)
+            print(json.dumps({"saved": str(path), **pruner.get_optimization_info()}, indent=2, default=float))
+            return 0
+        if method == "distill":
+            from yolo_infer_tpu.optimization.distillation import create_distiller
+
+            if not args.data:
+                print("distill requires --data", file=sys.stderr)
+                return 2
+            dcfg = self._cfg("optimization", "distillation", default={}) or {}
+            distiller = create_distiller(model, {
+                "teacher": args.teacher or dcfg.get("teacher"),
+                "temperature": dcfg.get("temperature", 4.0),
+                "alpha": dcfg.get("alpha", 0.7),
+            })
+            distiller.optimize(data=args.data, epochs=args.epochs or 10, imgsz=imgsz)
+            out = args.output or f"{Path(model_path).stem}_distilled.msgpack"
+            path = distiller.save_optimized_model(out)
+            print(json.dumps({"saved": str(path), **distiller.get_optimization_info()}, indent=2, default=float))
+            return 0
         quantizer = create_quantizer(method, model, {"imgsz": imgsz, "data": args.data})
         if method == "ptq":
             n_batches = self._pick(args.calibration_batches, qcfg.get("num_calibration_batches"), 100)

@@ -471,3 +471,73 @@ def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> Tuple[jnp.n
     loss = jnp.mean(nll)
     acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
     return loss, {"loss": loss, "accuracy": acc}
+
+
+# ------------------------------------------------------------- distillation
+# Soft (teacher->student) losses for DistillationOptimizer. The reference
+# declares distillation abstract with temperature=4.0 / alpha=0.7
+# (reference optimization/base.py:290-314); the actual losses are new work.
+
+
+def distill_classify_loss(s_logits: jnp.ndarray, t_logits: jnp.ndarray, temperature: float = 4.0) -> jnp.ndarray:
+    """Hinton KD: T^2 * KL(softmax(t/T) || softmax(s/T)), mean over batch."""
+    t = jax.nn.softmax(t_logits / temperature, axis=-1)
+    logp_t = jax.nn.log_softmax(t_logits / temperature, axis=-1)
+    logp_s = jax.nn.log_softmax(s_logits / temperature, axis=-1)
+    kl = jnp.sum(t * (logp_t - logp_s), axis=-1)
+    return temperature**2 * jnp.mean(kl)
+
+
+def _binary_kl_from_logits(t_logits: jnp.ndarray, s_logits: jnp.ndarray) -> jnp.ndarray:
+    """KL(sigmoid(t) || sigmoid(s)) per element, via stable BCE identities:
+    KL(p||q) = H(p, q) - H(p) with H(p, sigmoid(l)) = BCE(l, p)."""
+    p = jax.nn.sigmoid(t_logits)
+    return optax_sigmoid_bce(s_logits, p) - optax_sigmoid_bce(t_logits, p)
+
+
+def distill_detect_loss(
+    s_feats: List[jnp.ndarray],
+    t_feats: List[jnp.ndarray],
+    *,
+    nc: int,
+    reg_max: int = 16,
+    temperature: float = 4.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Soft KD loss between student and teacher raw detect-head maps.
+
+    Every YOLO11 size emits the same head layout — per level
+    (B, Hi, Wi, 4*reg_max + nc) at strides 8/16/32 — so teacher and student
+    predictions align per anchor regardless of backbone width. Two terms:
+
+      * cls — temperature-scaled binary KL between per-class sigmoid
+        probabilities over ALL anchors (background "dark knowledge" teaches
+        the student what to suppress), normalized like the hard BCE.
+      * box — KL between the DFL bin distributions (softmax over reg_max per
+        side), weighted by the teacher's own per-anchor confidence: box
+        distributions on background anchors are noise, so they get ~0 weight.
+
+    Both terms carry the classic T^2 gradient rescale.
+    """
+    b = s_feats[0].shape[0]
+    s_flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in s_feats], axis=1).astype(jnp.float32)
+    t_flat = jnp.concatenate([f.reshape(b, -1, f.shape[-1]) for f in t_feats], axis=1).astype(jnp.float32)
+    s_cls, t_cls = s_flat[..., 4 * reg_max:], t_flat[..., 4 * reg_max:]
+    s_box = s_flat[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
+    t_box = t_flat[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
+
+    # cls: mean binary KL at temperature T, per anchor-class
+    kd_cls = temperature**2 * jnp.mean(
+        jnp.sum(_binary_kl_from_logits(t_cls / temperature, s_cls / temperature), axis=-1)
+    )
+
+    # box: DFL distribution KL, teacher-confidence weighted
+    w = jnp.max(jax.nn.sigmoid(t_cls), axis=-1)  # (B, A) teacher objectness proxy
+    w = w / jnp.maximum(jnp.sum(w), 1e-6)
+    p_t = jax.nn.softmax(t_box / temperature, axis=-1)
+    logp_t = jax.nn.log_softmax(t_box / temperature, axis=-1)
+    logp_s = jax.nn.log_softmax(s_box / temperature, axis=-1)
+    kl_box = jnp.mean(jnp.sum(p_t * (logp_t - logp_s), axis=-1), axis=-1)  # (B, A)
+    kd_box = temperature**2 * jnp.sum(kl_box * w)
+
+    total = kd_cls + kd_box
+    return total, {"kd_cls": kd_cls, "kd_box": kd_box}

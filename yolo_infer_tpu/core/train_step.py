@@ -232,12 +232,27 @@ def make_train_step(
     ema_decay: float = 0.9999,
     ema_ramp: float = 2000.0,
     qat: bool = False,
+    param_mask: Any = None,
+    distill: Optional[Dict[str, Any]] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted step. Batch dict (detect):
     images (B,H,W,3) f32 [0,1] | boxes (B,M,4) xyxy px | classes (B,M) | mask (B,M).
     Classify: images, labels (B,).
     With qat=True the forward fake-quantizes weights/activations (STE),
     so the trained weights survive int8 conversion (nn.quantize).
+
+    param_mask: optional {0,1} pytree (params structure) re-applied to
+    params AND ema after every update — in-graph pruning-mask enforcement
+    (optimization/pruning.py): masked weights cannot regrow through
+    momentum or weight decay.
+
+    distill: optional knowledge-distillation spec
+    {"params": teacher deploy params (fused), "spec": teacher ModelSpec,
+     "temperature": T, "alpha": a} — the teacher runs frozen inside the same
+    jitted step (its params are closed-over device constants, replicated
+    under GSPMD) and the loss becomes a*soft + (1-a)*hard
+    (optimization/distillation.py; reference declares alpha=0.7 / T=4.0,
+    reference optimization/base.py:303-304).
     """
 
     def _fwd(params, bn_state, images):
@@ -270,6 +285,32 @@ def make_train_step(
             loss, metrics = obb_loss(out, batch, **kw)
         else:
             loss, metrics = detection_loss(out["feats"], batch, **kw)
+        if distill is not None:
+            t_out, _ = forward(
+                distill["params"], None, distill["spec"], images,
+                training=False, compute_dtype=compute_dtype,
+            )
+            t_out = jax.lax.stop_gradient(t_out)
+            temperature = float(distill.get("temperature", 4.0))
+            alpha = float(distill.get("alpha", 0.7))
+            if spec.task == "classify":
+                from yolo_infer_tpu.core.losses import distill_classify_loss
+
+                soft = distill_classify_loss(out["logits"], t_out["logits"], temperature)
+                kd_metrics = {"loss_kd": soft}
+            else:
+                from yolo_infer_tpu.core.losses import distill_detect_loss
+
+                # hard task losses are scaled by batch size; scale the soft
+                # term identically so alpha means the same at any batch
+                soft, kd = distill_detect_loss(
+                    out["feats"], t_out["feats"], nc=spec.nc, reg_max=spec.reg_max,
+                    temperature=temperature,
+                )
+                soft = soft * images.shape[0]
+                kd_metrics = {"loss_kd": soft, **kd}
+            loss = (1.0 - alpha) * loss + alpha * soft
+            metrics = {**metrics, **kd_metrics, "loss": loss}
         return loss, (new_bn, metrics)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -292,6 +333,10 @@ def make_train_step(
         new_params = sel(new_params, tree["params"])
         new_opt = sel(new_opt, tree["opt_state"])
         new_bn = sel(new_bn, tree["bn_state"])
+        if param_mask is not None:  # pruning: pinned zeros survive the update
+            new_params = jax.tree_util.tree_map(
+                lambda p, m: p * jnp.asarray(m, p.dtype), new_params, param_mask
+            )
 
         step = tree["step"] + 1
         d = ema_decay * (1.0 - jnp.exp(-step.astype(jnp.float32) / ema_ramp))
@@ -300,6 +345,10 @@ def make_train_step(
             tree["ema_params"],
             new_params,
         )
+        if param_mask is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, m: e * jnp.asarray(m, e.dtype), new_ema, param_mask
+            )
         new_tree = {
             "params": new_params,
             "bn_state": new_bn,

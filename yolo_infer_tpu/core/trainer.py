@@ -155,6 +155,11 @@ class YOLO11Trainer:
         self.run_dir = run_dir
         self.callbacks = callbacks or TrainingCallbacks()
         self._freeze: Optional[Union[int, Sequence[str]]] = self.config.freeze
+        # optimizer hooks (not TrainingConfig fields — they carry pytrees):
+        # pruning mask enforced in-graph every step, and a frozen-teacher
+        # distillation spec (optimization/pruning.py, optimization/distillation.py)
+        self.param_mask: Any = None
+        self.distill: Optional[Dict[str, Any]] = None
 
     # ------------------------------------------------------------------ train
 
@@ -234,7 +239,10 @@ class YOLO11Trainer:
             params=shard_params(ts.params, mesh),
             ema_params=shard_params(ts.ema_params, mesh),
         )
-        step_fn = make_train_step(model.spec, tx, hyp=cfg.loss_hyp(), mesh=mesh, qat=cfg.qat)
+        step_fn = make_train_step(
+            model.spec, tx, hyp=cfg.loss_hyp(), mesh=mesh, qat=cfg.qat,
+            param_mask=self.param_mask, distill=self.distill,
+        )
 
         ckpt_mgr = CheckpointManager(self.run_dir / "checkpoints")
         start_epoch = 0

@@ -2,9 +2,11 @@
 
 API parity with the reference's optimization/base.py (BaseOptimizer ABC
 :18-208 with optimize/evaluate/get_optimization_info/save/load/compare,
-QuantizationOptimizer :232-262, PruningOptimizer stub :264-288,
-DistillationOptimizer stub :290-314, OptimizationPipeline :317-404,
-OptimizationRegistry :407-439). Models here are YOLO11Model wrappers whose
+QuantizationOptimizer :232-262, OptimizationPipeline :317-404,
+OptimizationRegistry :407-439). The reference declares PruningOptimizer
+(:264-288) and DistillationOptimizer (:290-314) as abstract stubs; this
+build IMPLEMENTS them (optimization/pruning.py, optimization/distillation.py).
+Models here are YOLO11Model wrappers whose
 deploy params are JAX pytrees; "optimized" artifacts are saved in the native
 msgpack checkpoint format, not pickled torch modules.
 """
@@ -105,30 +107,9 @@ class QuantizationOptimizer(BaseOptimizer):
         self.calibration_data = data
 
 
-class PruningOptimizer(BaseOptimizer):
-    """Typed stub, as in the reference (base.py:264-288)."""
-
-    METHODS = ("magnitude", "structured", "unstructured", "gradual")
-
-    def __init__(self, model: Any, config: Optional[Dict[str, Any]] = None):
-        super().__init__(model, config)
-        self.method = self.config.get("method", "magnitude")
-        self.sparsity = self.config.get("sparsity", 0.5)
-
-    def optimize(self, *args, **kwargs):  # pragma: no cover - stub parity
-        raise NotImplementedError("pruning is a declared-but-unimplemented capability, as in the reference")
-
-
-class DistillationOptimizer(BaseOptimizer):
-    """Typed stub, as in the reference (base.py:290-314)."""
-
-    def __init__(self, model: Any, config: Optional[Dict[str, Any]] = None):
-        super().__init__(model, config)
-        self.temperature = self.config.get("temperature", 4.0)
-        self.alpha = self.config.get("alpha", 0.7)
-
-    def optimize(self, *args, **kwargs):  # pragma: no cover - stub parity
-        raise NotImplementedError("distillation is a declared-but-unimplemented capability, as in the reference")
+# PruningOptimizer and DistillationOptimizer live in optimization/pruning.py
+# and optimization/distillation.py — the reference declares them as abstract
+# stubs (reference base.py:264-314); this build implements them.
 
 
 class OptimizationPipeline:

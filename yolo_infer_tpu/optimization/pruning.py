@@ -1,0 +1,313 @@
+"""Pruning: magnitude / unstructured / structured / gradual — implemented.
+
+The reference only *declares* this capability (reference optimization/base.py
+:264-288: a `PruningOptimizer` ABC with methods
+('magnitude','structured','unstructured','gradual') and a `sparsity` knob,
+abstract `optimize`). This build implements all four methods TPU-natively.
+
+Design notes (why masks, not surgery):
+  * XLA compiles dense convolutions with static shapes; removing channels
+    dynamically would force a recompile per sparsity level and unstructured
+    sparsity cannot be exploited by the MXU at all. Pruned coordinates are
+    therefore ZEROED under a persistent mask — shapes stay static, the
+    compiled program is unchanged, and the win is model size (zeros compress;
+    see `save_optimized_model` + msgpack/zip) and downstream
+    sparsity-aware tooling, exactly the trade the torch eager pruning the
+    reference points at (`torch.nn.utils.prune`) makes with its weight masks.
+  * Structured pruning zeroes whole OUTPUT channels — conv kernel column
+    w[..., c] plus that channel's BN affine (gamma[c], beta[c]) — so the
+    channel's post-activation output is exactly SiLU(0) = 0 and the network
+    behaves as if the channel were removed. A later surgery pass could then
+    physically compact channels; kept out of scope because YOLO11's
+    concat/CSP topology ties channel counts across layers.
+  * During fine-tuning the mask is enforced IN-GRAPH every step
+    (core/train_step.py `param_mask`): pruned weights cannot regrow through
+    SGD momentum or weight decay.
+
+Only conv(+BN) blocks are prunable — params dicts carrying both 'w' and
+'gamma'. The detect/segment/pose/obb prediction convs (the {'w','b'} leaves
+that emit class/box/keypoint maps) and the classify head are never pruned:
+zeroing their output channels deletes output classes, not capacity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_infer_tpu.optimization.base import BaseOptimizer, OptimizationRegistry
+
+logger = logging.getLogger(__name__)
+
+METHODS = ("magnitude", "structured", "unstructured", "gradual")
+
+
+# --------------------------------------------------------------------- masks
+
+
+def _walk_prunable(params: Any):
+    """Yield every prunable conv dict (has both 'w' and 'gamma')."""
+    if isinstance(params, dict):
+        if "w" in params and "gamma" in params:
+            yield params
+        for v in params.values():
+            yield from _walk_prunable(v)
+    elif isinstance(params, (list, tuple)):
+        for v in params:
+            yield from _walk_prunable(v)
+
+
+def _ones_like_tree(params: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.ones(x.shape, np.float32), params)
+
+
+def _map_prunable(params: Any, masks: Any, fn) -> None:
+    """Apply fn(conv_dict, mask_dict) in-place over parallel trees."""
+    if isinstance(params, dict):
+        if "w" in params and "gamma" in params:
+            fn(params, masks)
+        else:
+            for k in params:
+                _map_prunable(params[k], masks[k], fn)
+    elif isinstance(params, (list, tuple)):
+        for p, m in zip(params, masks):
+            _map_prunable(p, m, fn)
+
+
+def magnitude_masks(params: Any, sparsity: float, scope: str = "global") -> Any:
+    """Weight-level masks zeroing the smallest-|w| fraction.
+
+    scope='global' ranks magnitudes across ALL prunable convs (one threshold —
+    the 'magnitude' method); scope='layer' prunes each conv to `sparsity`
+    independently (the 'unstructured' method). Returns a float32 {0,1} pytree
+    with the SAME structure as `params` (non-prunable leaves get all-ones).
+    """
+    sparsity = float(np.clip(sparsity, 0.0, 1.0))
+    masks = _ones_like_tree(params)
+    convs = [np.abs(np.asarray(c["w"], np.float32)) for c in _walk_prunable(params)]
+    if not convs or sparsity == 0.0:
+        return masks
+
+    if scope == "global":
+        flat = np.concatenate([w.reshape(-1) for w in convs])
+        k = int(sparsity * flat.size)
+        thresh = np.partition(flat, k)[k] if 0 < k < flat.size else (np.inf if k else -np.inf)
+
+        def _mask(conv, m):
+            m["w"] = (np.abs(np.asarray(conv["w"], np.float32)) >= thresh).astype(np.float32)
+
+    else:  # per-layer
+
+        def _mask(conv, m):
+            w = np.abs(np.asarray(conv["w"], np.float32)).reshape(-1)
+            k = int(sparsity * w.size)
+            if 0 < k < w.size:
+                t = np.partition(w, k)[k]
+                m["w"] = (np.abs(np.asarray(conv["w"], np.float32)) >= t).astype(np.float32)
+
+    _map_prunable(params, masks, _mask)
+    return masks
+
+
+def channel_masks(params: Any, sparsity: float) -> Any:
+    """Structured masks zeroing whole output channels (lowest L2 norm first).
+
+    Per prunable conv, channels are ranked by the L2 norm of w[..., c]; the
+    lowest `sparsity` fraction is zeroed in w AND in the BN affine
+    (gamma/beta), so the channel's output is identically zero after SiLU.
+    At least one channel per conv always survives.
+    """
+    sparsity = float(np.clip(sparsity, 0.0, 1.0))
+    masks = _ones_like_tree(params)
+    if sparsity == 0.0:
+        return masks
+
+    def _mask(conv, m):
+        w = np.asarray(conv["w"], np.float32)
+        c_out = w.shape[-1]
+        norms = np.sqrt((w.reshape(-1, c_out) ** 2).sum(axis=0))
+        n_prune = min(int(sparsity * c_out), c_out - 1)
+        if n_prune <= 0:
+            return
+        dead = np.argsort(norms)[:n_prune]
+        ch = np.ones(c_out, np.float32)
+        ch[dead] = 0.0
+        m["w"] = np.broadcast_to(ch, w.shape).copy()
+        m["gamma"] = ch.copy()
+        m["beta"] = ch.copy()
+
+    _map_prunable(params, masks, _mask)
+    return masks
+
+
+def apply_masks(params: Any, masks: Any) -> Any:
+    """params * masks, preserving each leaf's dtype."""
+    return jax.tree_util.tree_map(lambda p, m: (p * jnp.asarray(m, p.dtype)).astype(p.dtype), params, masks)
+
+
+def combine_masks(a: Any, b: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x, y: x * y, a, b)
+
+
+def sparsity_report(params: Any) -> Dict[str, float]:
+    """Achieved sparsity over the prunable surface (and overall zeros)."""
+    prunable_total = prunable_zero = 0
+    for conv in _walk_prunable(params):
+        w = np.asarray(conv["w"])
+        prunable_total += w.size
+        prunable_zero += int((w == 0).sum())
+    all_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(params)]
+    total = sum(x.size for x in all_leaves)
+    zeros = sum(int((x == 0).sum()) for x in all_leaves)
+    return {
+        "prunable_params": prunable_total,
+        "prunable_zeros": prunable_zero,
+        "prunable_sparsity": prunable_zero / max(prunable_total, 1),
+        "total_params": total,
+        "total_zeros": zeros,
+        "total_sparsity": zeros / max(total, 1),
+    }
+
+
+def gradual_sparsity_schedule(si: float, sf: float, t: float) -> float:
+    """Zhu & Gupta cubic ramp: s(t) = sf + (si - sf) * (1 - t)^3, t in [0,1]."""
+    t = float(np.clip(t, 0.0, 1.0))
+    return sf + (si - sf) * (1.0 - t) ** 3
+
+
+# ----------------------------------------------------------------- optimizer
+
+
+class PruningOptimizer(BaseOptimizer):
+    """Mask-based pruning over the YOLO11 conv stack.
+
+    Implements the capability the reference declares abstract
+    (reference optimization/base.py:264-288). Config keys:
+      method            magnitude | unstructured | structured | gradual
+      sparsity          target fraction of prunable weights zeroed (0.5)
+      initial_sparsity  gradual start point (0.0)
+      prune_rounds      gradual: number of prune→fine-tune rounds (4)
+      fine_tune_lr      lr for post-prune fine-tuning (1e-3)
+
+    `optimize(data=None, epochs=...)`:
+      * no data  — one-shot prune; returns the pruned model.
+      * data     — prune then fine-tune with the mask enforced in-graph
+                   every step (weights cannot regrow); method 'gradual'
+                   ramps sparsity over `prune_rounds` rounds of
+                   `epochs // prune_rounds` epochs each (cubic schedule).
+    """
+
+    METHODS = METHODS
+
+    def __init__(self, model: Any, config: Optional[Dict[str, Any]] = None):
+        super().__init__(model, config)
+        self.method = self.config.get("method", "magnitude")
+        if self.method not in METHODS:
+            raise ValueError(f"method {self.method!r} not in {METHODS}")
+        self.sparsity = float(self.config.get("sparsity", 0.5))
+        self.initial_sparsity = float(self.config.get("initial_sparsity", 0.0))
+        self.prune_rounds = int(self.config.get("prune_rounds", 4))
+        self.fine_tune_lr = float(self.config.get("fine_tune_lr", 1e-3))
+        self.masks: Any = None
+
+    # -- internals -------------------------------------------------------
+
+    def _masks_at(self, params: Any, sparsity: float) -> Any:
+        if self.method == "structured":
+            return channel_masks(params, sparsity)
+        scope = "layer" if self.method == "unstructured" else "global"
+        return magnitude_masks(params, sparsity, scope=scope)
+
+    def _student_copy(self):
+        """Trainable copy of self.model (original left untouched for
+        BaseOptimizer.compare_models)."""
+        from yolo_infer_tpu.core.model import YOLO11Model
+
+        m = self.model
+        if m.state is None:
+            raise ValueError(
+                "fine-tuning a pruned model needs training-form (unfused) params; "
+                f"{m.model_path!r} was loaded fused — re-load the unfused checkpoint"
+            )
+        cp = jax.tree_util.tree_map(jnp.copy, m.params)
+        st = jax.tree_util.tree_map(jnp.copy, m.state)
+        return YOLO11Model.from_params(
+            cp, task=m.task, size=m.size, nc=m.nc, names=m.names, fused=False, state=st,
+            compute_dtype=m.compute_dtype, model_path=f"{m.model_path}-pruned",
+        )
+
+    def _fine_tune(self, student, masks, data: str, epochs: int, **train_kw) -> Dict[str, Any]:
+        from yolo_infer_tpu.core.trainer import TrainingConfig, YOLO11Trainer
+
+        cfg = TrainingConfig(
+            data=data, epochs=epochs, lr0=train_kw.pop("lr0", self.fine_tune_lr),
+            warmup_epochs=train_kw.pop("warmup_epochs", 0.0), mosaic=train_kw.pop("mosaic", 0.0),
+            **train_kw,
+        )
+        trainer = YOLO11Trainer(model=student, config=cfg)
+        trainer.param_mask = masks  # in-graph enforcement (core/train_step.py)
+        return trainer.train()
+
+    # -- contract ----------------------------------------------------------
+
+    def optimize(self, data: Optional[str] = None, epochs: int = 4, **train_kw) -> Any:
+        t_params = self.model.params if self.model.state is not None else self.model.deploy_params
+        before = sparsity_report(t_params)
+
+        if self.method == "gradual" and data:
+            student = self._student_copy()
+            rounds = max(self.prune_rounds, 1)
+            per_round = max(epochs // rounds, 1)
+            history = []
+            for r in range(rounds):
+                s_t = gradual_sparsity_schedule(self.initial_sparsity, self.sparsity, (r + 1) / rounds)
+                self.masks = self._masks_at(student.params, s_t)
+                student.params = apply_masks(student.params, self.masks)
+                student.invalidate()
+                out = self._fine_tune(student, self.masks, data, per_round, exist_ok=True, **train_kw)
+                history.append({"round": r, "sparsity": s_t, "epochs": per_round,
+                                "loss": (out["history"][-1].get("loss") if out["history"] else None)})
+                logger.info("gradual prune round %d/%d: sparsity %.3f", r + 1, rounds, s_t)
+            fine_tune_info: Any = history
+        else:
+            if self.model.state is not None:
+                student = self._student_copy()
+            else:  # fused model: prune-only (no fine-tune possible)
+                from yolo_infer_tpu.core.model import YOLO11Model
+
+                m = self.model
+                student = YOLO11Model.from_params(
+                    jax.tree_util.tree_map(jnp.copy, m.deploy_params), task=m.task, size=m.size,
+                    nc=m.nc, names=m.names, fused=True, compute_dtype=m.compute_dtype,
+                    model_path=f"{m.model_path}-pruned",
+                )
+            self.masks = self._masks_at(student.params, self.sparsity)
+            student.params = apply_masks(student.params, self.masks)
+            student.invalidate()
+            fine_tune_info = None
+            if data:
+                fine_tune_info = {k: v for k, v in self._fine_tune(student, self.masks, data, epochs, **train_kw).items()
+                                  if k in ("status", "epochs_completed", "best_fitness")}
+
+        after = sparsity_report(student.params if student.state is not None else student.deploy_params)
+        self.optimized_model = student
+        self.optimization_info = {
+            "method": self.method,
+            "target_sparsity": self.sparsity,
+            "before": before,
+            "after": after,
+            "fine_tune": fine_tune_info,
+        }
+        return student
+
+
+OptimizationRegistry.register("prune", PruningOptimizer)
+
+
+def create_pruner(model: Any, config: Optional[Dict[str, Any]] = None) -> PruningOptimizer:
+    return PruningOptimizer(model, config)
