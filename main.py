@@ -94,6 +94,8 @@ class YOLO11CLI:
         o.add_argument("--calibration-batches", type=int, default=None)
         o.add_argument("--sparsity", type=float, default=None, help="prune: target sparsity")
         o.add_argument("--prune-method", default=None, choices=["magnitude", "structured", "unstructured", "gradual"])
+        o.add_argument("--physical", action="store_true",
+                       help="prune: channel surgery (physically smaller+faster model; implies structured)")
         o.add_argument("--teacher", default=None, help="distill: teacher model name/path")
         o.add_argument("--epochs", type=int, default=None, help="prune fine-tune / distill epochs")
 
@@ -231,8 +233,10 @@ class YOLO11CLI:
 
             pcfg = self._cfg("optimization", "pruning", default={}) or {}
             pruner = create_pruner(model, {
-                "method": self._pick(args.prune_method, pcfg.get("method"), "magnitude"),
+                "method": "structured" if args.physical
+                else self._pick(args.prune_method, pcfg.get("method"), "magnitude"),
                 "sparsity": self._pick(args.sparsity, pcfg.get("sparsity"), 0.5),
+                "physical": args.physical or bool(pcfg.get("physical", False)),
             })
             pruner.optimize(data=args.data, **({"epochs": args.epochs} if args.epochs else {}))
             out = args.output or f"{Path(model_path).stem}_pruned.msgpack"

@@ -200,6 +200,13 @@ class PruningOptimizer(BaseOptimizer):
                    every step (weights cannot regrow); method 'gradual'
                    ramps sparsity over `prune_rounds` rounds of
                    `epochs // prune_rounds` epochs each (cubic schedule).
+
+    method='structured' with `physical: true` runs channel SURGERY instead
+    of masking (optimization/surgery.py): low-importance internal channel
+    groups are physically removed, so the compiled model is genuinely
+    smaller and faster — no masks, and fine-tuning is plain training on the
+    slimmed tree. `sparsity` then means the fraction of each internal
+    group's channels removed (overall param reduction is reported).
     """
 
     METHODS = METHODS
@@ -213,6 +220,10 @@ class PruningOptimizer(BaseOptimizer):
         self.initial_sparsity = float(self.config.get("initial_sparsity", 0.0))
         self.prune_rounds = int(self.config.get("prune_rounds", 4))
         self.fine_tune_lr = float(self.config.get("fine_tune_lr", 1e-3))
+        self.physical = bool(self.config.get("physical", False))
+        self.align = int(self.config.get("align", 8))
+        if self.physical and self.method != "structured":
+            raise ValueError("physical surgery requires method='structured'")
         self.masks: Any = None
 
     # -- internals -------------------------------------------------------
@@ -255,7 +266,40 @@ class PruningOptimizer(BaseOptimizer):
 
     # -- contract ----------------------------------------------------------
 
+    def _optimize_physical(self, data: Optional[str], epochs: int, **train_kw) -> Any:
+        from yolo_infer_tpu.core.model import YOLO11Model
+        from yolo_infer_tpu.optimization.surgery import slim_model
+
+        m = self.model
+        src_params = m.params if m.state is not None else m.deploy_params
+        new_p, new_s, plan, rep = slim_model(
+            src_params, m.state, m.spec, keep_frac=1.0 - self.sparsity, align=self.align
+        )
+        student = YOLO11Model.from_params(
+            new_p, task=m.task, size=m.size, nc=m.nc, names=m.names,
+            fused=new_s is None, state=new_s, compute_dtype=m.compute_dtype,
+            model_path=f"{m.model_path}-slim",
+        )
+        fine_tune_info = None
+        if data:
+            if new_s is None:
+                raise ValueError("fine-tuning a slimmed model needs training-form (unfused) params")
+            # plain fine-tune: the slimmed tree needs no masks
+            out = self._fine_tune(student, None, data, epochs, **train_kw)
+            fine_tune_info = {k: v for k, v in out.items()
+                              if k in ("status", "epochs_completed", "best_fitness")}
+        self.optimized_model = student
+        self.optimization_info = {
+            "method": "structured-physical",
+            "target_sparsity": self.sparsity,
+            "surgery": rep,
+            "fine_tune": fine_tune_info,
+        }
+        return student
+
     def optimize(self, data: Optional[str] = None, epochs: int = 4, **train_kw) -> Any:
+        if self.physical:
+            return self._optimize_physical(data, epochs, **train_kw)
         t_params = self.model.params if self.model.state is not None else self.model.deploy_params
         before = sparsity_report(t_params)
 
