@@ -88,6 +88,31 @@ def test_interfaces_untouched():
     assert out_full["proto"].shape == out_slim["proto"].shape
 
 
+def test_chunk_surgery_m_scale():
+    """c3k=True everywhere at m-scale: chain-link groups + split2 pairing."""
+    params, state, spec = _perturbed("detect", "m")
+    sp, ss, plan, rep = slim_model(params, state, spec, keep_frac=0.5)
+    zp, zs = zero_removed(params, state, plan)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    out_s, _ = forward(sp, ss, spec, x, compute_dtype=jnp.float32)
+    out_z, _ = forward(zp, zs, spec, x, compute_dtype=jnp.float32)
+    assert _max_delta(out_s, out_z) < 2e-4
+    assert rep["params_ratio"] < 0.7
+    # paired chunk groups keep equal counts (q_split2 halves stay exact)
+    by_name = {g.name: g for g in plan}
+    pairs = [(n, n.replace(":chunk_a", ":chunk_b")) for n in by_name if n.endswith(":chunk_a")]
+    assert pairs
+    for a, b in pairs:
+        assert by_name[a].kept == by_name[b].kept
+
+
+def test_chunks_flag_off_is_gentler():
+    params, state, spec = _perturbed()
+    _, _, _, rep_all = slim_model(params, state, spec, keep_frac=0.5, chunks=True)
+    _, _, _, rep_inner = slim_model(params, state, spec, keep_frac=0.5, chunks=False)
+    assert rep_all["params_after"] < rep_inner["params_after"] < rep_inner["params_before"]
+
+
 def test_quantized_tree_rejected():
     params, state, spec = _perturbed()
     params["0"]["w_q"] = params["0"]["w"]

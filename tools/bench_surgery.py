@@ -1,0 +1,57 @@
+"""Measure the physical-surgery speedup on real TPU hardware.
+
+Dense vs slimmed (keep_frac 0.5, align 8) yolo11{n,m} end-to-end serving
+throughput (incl. NMS) via the FIFO-safe `model.benchmark` protocol.
+Prints one JSON row per phase incrementally (a killed run keeps its rows).
+
+Run detached:  setsid nohup python tools/bench_surgery.py > /tmp/bench_surgery.log 2>&1 &
+"""
+
+import json
+import sys
+import time
+
+from yolo_infer_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+from yolo_infer_tpu.core.model import YOLO11Model  # noqa: E402
+from yolo_infer_tpu.models.yolo11 import param_count  # noqa: E402
+from yolo_infer_tpu.optimization.surgery import slim_model  # noqa: E402
+
+
+def row(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    import jax
+
+    row(backend=jax.default_backend(), event="start", t=time.time())
+    configs = [("n", [32]), ("m", [32, 128])]
+    if len(sys.argv) > 1:
+        configs = [(s, [int(b) for b in bs.split(",")]) for s, bs in
+                   (c.split(":") for c in sys.argv[1:])]
+    for size, batches in configs:
+        model = YOLO11Model(f"yolo11{size}")
+        n_dense = param_count(model.deploy_params)
+        slim_p, _, _, rep = slim_model(model.deploy_params, None, model.spec, keep_frac=0.5)
+        slim = YOLO11Model.from_params(slim_p, task="detect", size=size, nc=80, fused=True,
+                                       model_path=f"yolo11{size}-slim")
+        row(size=size, event="slimmed", params_dense=n_dense, params_slim=rep["params_after"],
+            params_ratio=round(rep["params_ratio"], 4))
+        for b in batches:
+            for kind, m in (("dense", model), ("slim", slim)):
+                r = m.benchmark(640, b, runs=50, warmup=5)
+                row(size=size, batch=b, kind=kind,
+                    fps=round(r["fps"], 1),
+                    avg_ms=round(r["avg_time_s"] * 1e3, 3),
+                    std_ms=round(r["std_time_s"] * 1e3, 3),
+                    windows_ms=r["window_avgs_ms"],
+                    latency_ms=round(r["latency_s"] * 1e3, 2),
+                    compile_s=round(r["compile_time_s"], 1))
+    row(event="done", t=time.time())
+
+
+if __name__ == "__main__":
+    main()

@@ -222,13 +222,89 @@ def _c3k_groups(path: str, p, keep_frac, align) -> List[Group]:
     return groups
 
 
-def _c3k2_groups(path: str, p, c3k: bool, keep_frac, align) -> List[Group]:
+def _select_k(imp: np.ndarray, k: int) -> np.ndarray:
+    return np.sort(np.argpartition(-imp, k - 1)[:k])
+
+
+def _c3k2_chunk_groups(path: str, p, c3k: bool, keep_frac, align) -> List[Group]:
+    """Slim the C3k2 chunk channels themselves (the outer dims of the block's
+    3x3 convs). Constraints honored:
+      * `q_split2` halves cv1's output evenly -> the a- and b-chunk keep the
+        SAME count (indices may differ), so cv1 is sliced once with the
+        combined index and the split point stays exact.
+      * non-c3k: residual adds tie b and every bottleneck output into ONE
+        group (same keep at every concat segment).
+      * c3k:    the chain has no outer residual, so b and each C3k output
+        y_i are INDEPENDENT groups; C3k's own cv1+cv2 both consume the link.
+      * cv2 consumes concat([a, b, y_1..y_n]); its input index is assembled
+        across all segment keeps and applied exactly once.
+    """
+    c2x = int(np.asarray(p["cv1"]["w"]).shape[-1])
+    c = c2x // 2
+    n_m = len(p["m"])
+
+    cols = _col_norms(p["cv1"])
+    imp_a, imp_b = cols[:c].copy(), cols[c:].copy()
+    if not c3k:  # residual chain: every m output shares the b channel space
+        for m in p["m"]:
+            imp_b = imp_b + _col_norms(m["cv2"])
+    keep_a = _select(imp_a, keep_frac, align)
+    keep_b = _select(imp_b, keep_frac, align)
+    if keep_a is None or keep_b is None:
+        keep_a = keep_b = None  # split2 needs equal halves: all or nothing
+    elif keep_a.size != keep_b.size:
+        k = max(keep_a.size, keep_b.size)
+        keep_a, keep_b = _select_k(imp_a, k), _select_k(imp_b, k)
+
+    ia = keep_a if keep_a is not None else np.arange(c)
+    ib = keep_b if keep_b is not None else np.arange(c)
+    seg_keeps: List[np.ndarray] = [ia, ib]
+    groups: List[Group] = []
+
+    if keep_a is not None:
+        ga = Group(f"{path}:chunk_a", c, keep_a,
+                   [Member(f"{path}.cv1", "out", index=np.concatenate([ia, c + ib]))])
+        gb_members: List[Member] = []
+        if c3k:
+            gb_members += [Member(f"{path}.m.0.cv1", "in", index=keep_b),
+                           Member(f"{path}.m.0.cv2", "in", index=keep_b)]
+        else:
+            for i in range(n_m):
+                gb_members += [Member(f"{path}.m.{i}.cv1", "in"),
+                               Member(f"{path}.m.{i}.cv2", "out")]
+        groups += [ga, Group(f"{path}:chunk_b", c, keep_b, gb_members)]
+
+    if c3k:  # chain link groups: y_i = m[i].cv3 output feeds m[i+1] + concat
+        for i in range(n_m):
+            cv3 = p["m"][i]["cv3"]
+            cy = int(np.asarray(cv3["w"]).shape[-1])
+            keep_y = _select(_col_norms(cv3), keep_frac, align)
+            members = [Member(f"{path}.m.{i}.cv3", "out")]
+            if i + 1 < n_m and keep_y is not None:
+                members += [Member(f"{path}.m.{i + 1}.cv1", "in"),
+                            Member(f"{path}.m.{i + 1}.cv2", "in")]
+            groups.append(Group(f"{path}:y{i}", cy, keep_y, members))
+            seg_keeps.append(keep_y if keep_y is not None else np.arange(cy))
+    else:  # residual: every chain segment shares the b keep
+        seg_keeps += [ib] * n_m
+
+    if any(g.keep is not None for g in groups):
+        offsets = np.cumsum([0] + [c] * (len(seg_keeps) - 1))
+        idx = np.concatenate([off + sk for off, sk in zip(offsets, seg_keeps)])
+        host = next(g for g in groups if g.keep is not None)
+        host.members.append(Member(f"{path}.cv2", "in", index=idx))
+    return groups
+
+
+def _c3k2_groups(path: str, p, c3k: bool, keep_frac, align, chunks: bool = True) -> List[Group]:
     groups: List[Group] = []
     for i, m in enumerate(p["m"]):
         if c3k:
             groups += _c3k_groups(f"{path}.m.{i}", m, keep_frac, align)
         else:
             groups += _bottleneck_hidden(f"{path}.m.{i}", m, keep_frac, align)
+    if chunks:
+        groups += _c3k2_chunk_groups(path, p, c3k, keep_frac, align)
     return groups
 
 
@@ -307,8 +383,13 @@ def _classify_groups(path: str, p, keep_frac, align) -> List[Group]:
 # ----------------------------------------------------------------- top level
 
 
-def build_plan(params: Dict[str, Any], spec, keep_frac: float = 0.5, align: int = 8) -> List[Group]:
-    """Compute all slimming groups + keep sets (no mutation)."""
+def build_plan(params: Dict[str, Any], spec, keep_frac: float = 0.5, align: int = 8,
+               chunks: bool = True) -> List[Group]:
+    """Compute all slimming groups + keep sets (no mutation).
+
+    chunks=False restricts surgery to strictly-hidden dims (no C3k2
+    chunk/chain slimming) — useful for debugging or gentler pruning.
+    """
     for leaf_path in ("w_q",):
         if any(leaf_path in d for d in _walk_dicts(params)):
             raise ValueError("physical surgery requires float weights; re-quantize after slimming")
@@ -320,7 +401,7 @@ def build_plan(params: Dict[str, Any], spec, keep_frac: float = 0.5, align: int 
         p = params[key]
         t = layer.typ
         if t == "C3k2":
-            groups += _c3k2_groups(key, p, layer.kw["c3k"], keep_frac, align)
+            groups += _c3k2_groups(key, p, layer.kw["c3k"], keep_frac, align, chunks=chunks)
         elif t == "SPPF":
             groups += _sppf_groups(key, p, keep_frac, align)
         elif t == "C2PSA":
@@ -343,14 +424,15 @@ def _walk_dicts(t):
             yield from _walk_dicts(v)
 
 
-def slim_model(params, state, spec, keep_frac: float = 0.5, align: int = 8):
+def slim_model(params, state, spec, keep_frac: float = 0.5, align: int = 8,
+               chunks: bool = True):
     """Physically remove low-importance internal channels.
 
     Returns (new_params, new_state, plan, report). `state` may be None
     (fused deploy tree). The returned trees are fresh jnp arrays; inputs are
     not mutated.
     """
-    plan = build_plan(params, spec, keep_frac, align)
+    plan = build_plan(params, spec, keep_frac, align, chunks=chunks)
     new_p = _copy_tree(params)
     new_s = _copy_tree(state) if state is not None else None
     n_before = sum(int(np.asarray(x).size) for x in jax.tree_util.tree_leaves(params))
@@ -385,10 +467,14 @@ def zero_removed(params, state, plan) -> Tuple[Any, Any]:
     for g in plan:
         if g.keep is None:
             continue
-        rm = np.setdiff1d(np.arange(g.width), g.keep)
+        rm_group = np.setdiff1d(np.arange(g.width), g.keep)
         for m in g.members:
             p = _resolve(new_p, m.path)
             if m.kind == "out":
+                # an explicit index spans the member's whole axis (e.g. a
+                # partially-sliced multi-chunk producer) — complement it there
+                rm = (np.setdiff1d(np.arange(p["w"].shape[-1]), m.index)
+                      if m.index is not None else rm_group)
                 p["w"][..., rm] = 0
                 for k in ("gamma", "beta", "b"):
                     if k in p:
@@ -396,9 +482,9 @@ def zero_removed(params, state, plan) -> Tuple[Any, Any]:
             elif m.kind == "dw":
                 for k in ("gamma", "beta", "b"):
                     if k in p:
-                        p[k][rm] = 0
+                        p[k][rm_group] = 0
             elif m.kind == "up_o":
-                p["wt"][:, :, rm, :] = 0
+                p["wt"][:, :, rm_group, :] = 0
                 if "b" in p:
-                    p["b"][rm] = 0
+                    p["b"][rm_group] = 0
     return _to_jnp(new_p), (_to_jnp(new_s) if new_s is not None else None)
