@@ -223,6 +223,25 @@ def main() -> None:
         _try("b1_device_ms", lambda: round(
             model.benchmark(imgsz=imgsz, batch=1, runs=50, warmup=5)["avg_time_s"] * 1e3, 2))
 
+        def _slim():
+            # physical channel surgery (optimization/surgery.py): keep 0.5 of
+            # every internal group -> ~40% of weights gone, genuinely smaller
+            # compiled program. Speedup vs the dense headline above.
+            from yolo_infer_tpu.optimization.surgery import slim_model
+
+            sp, _, _, rep = slim_model(model.deploy_params, None, model.spec, keep_frac=0.5)
+            slim = YOLO11Model.from_params(sp, task="detect", size=size, nc=80, fused=True,
+                                           model_path=f"yolo11{size}-slim")
+            r = slim.benchmark(imgsz=imgsz, batch=batch, runs=max(runs // 2, 20), warmup=5)
+            return {"slim_fps": round(r["throughput_imgs_per_s"], 1),
+                    "slim_speedup": round(r["throughput_imgs_per_s"] / fps, 3),
+                    "slim_params_ratio": round(rep["params_ratio"], 3)}
+
+        if os.environ.get("BENCH_SLIM", "1") == "1":
+            _try("slim", _slim)
+            if isinstance(extras.get("slim"), dict):
+                extras.update(extras.pop("slim"))
+
     # vs_baseline: ratio to the most recent recorded round, else 1.0
     prev = None
     here = os.path.dirname(os.path.abspath(__file__))

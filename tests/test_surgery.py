@@ -173,6 +173,23 @@ def test_physical_fine_tune(tmp_path):
     assert param_count(slim.params) < param_count(model.params)
 
 
+def test_slim_then_ptq_int8():
+    """Surgery composes with static8 PTQ: quantize the slimmed tree."""
+    from yolo_infer_tpu.core.model import YOLO11Model
+    from yolo_infer_tpu.optimization.pruning import PruningOptimizer
+    from yolo_infer_tpu.optimization.quantization.quantizers import PostTrainingQuantizer
+
+    model = YOLO11Model("yolo11n", nc=3)
+    slim = PruningOptimizer(model, {"method": "structured", "physical": True, "sparsity": 0.5}).optimize()
+    q = PostTrainingQuantizer(slim, {"imgsz": 64})
+    rng = np.random.default_rng(0)
+    q.set_calibration_data([rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)])
+    qslim = q.optimize()
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    res = qslim.predict(img, conf=0.01, imgsz=64)
+    assert len(res) == 1 and np.isfinite(np.asarray(res[0].boxes)).all()
+
+
 def test_physical_requires_structured():
     from yolo_infer_tpu.core.model import YOLO11Model
     from yolo_infer_tpu.optimization.pruning import PruningOptimizer

@@ -27,6 +27,18 @@ def row(**kw):
 def main():
     import jax
 
+    # wedge recovery: a killed client can hold the TPU claim for 20+ min,
+    # during which backend init hangs then dies UNAVAILABLE — retry quietly
+    for attempt in range(4):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if "UNAVAILABLE" not in str(e) or attempt == 3:
+                raise
+            row(event="init_unavailable", attempt=attempt, sleeping_s=600)
+            time.sleep(600)
+
     row(backend=jax.default_backend(), event="start", t=time.time())
     configs = [("n", [32]), ("m", [32, 128])]
     if len(sys.argv) > 1:
