@@ -173,6 +173,25 @@ def test_physical_fine_tune(tmp_path):
     assert param_count(slim.params) < param_count(model.params)
 
 
+def test_slim_sharded_serving_matches_single_device():
+    """The slimmed tree serves DP-sharded over a mesh (GSPMD handles the
+    surgically-changed shapes; shard_params never sees spec-derived dims)."""
+    from yolo_infer_tpu.core.predictor import Predictor
+    from yolo_infer_tpu.parallel.mesh import create_mesh
+
+    params, state, spec = _perturbed()
+    fused = fold_model(params, state)
+    sp, _, _, _ = slim_model(fused, None, spec, keep_frac=0.5)
+    mesh = create_mesh(n_devices=8)
+    single = Predictor(sp, spec, compute_dtype=jnp.float32)
+    sharded = Predictor(sp, spec, compute_dtype=jnp.float32, mesh=mesh)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(0, 255, (8, 64, 64, 3), dtype=np.uint8))
+    a = single.predict_raw(imgs, 0.0001, 0.5, 64)
+    b = sharded.predict_raw(imgs, 0.0001, 0.5, 64)
+    np.testing.assert_array_equal(np.asarray(a["num"]), np.asarray(b["num"]))
+    np.testing.assert_allclose(np.asarray(a["scores"]), np.asarray(b["scores"]), atol=1e-5)
+
+
 def test_slim_then_ptq_int8():
     """Surgery composes with static8 PTQ: quantize the slimmed tree."""
     from yolo_infer_tpu.core.model import YOLO11Model
