@@ -18,6 +18,8 @@ def main() -> int:
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--imgsz", type=int, default=96)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--surgery", action="store_true",
+                   help="also check physical-pruning recovery: slim the trained model, fine-tune, re-validate")
     p.add_argument("--workdir", default="/tmp/overfit_check")
     args = p.parse_args()
 
@@ -97,7 +99,33 @@ def main() -> int:
     print(f"int8 metrics: {qres['metrics']}  (mAP50 delta vs float: {delta:+.4f})")
     q_ok = delta < 0.01
     print("INT8 ACCURACY CHECK:", "PASS" if q_ok else "FAIL (expect mAP50 within 1%)")
-    return 0 if (ok and q_ok) else 1
+
+    # physical-pruning recovery gate: slim the TRAINED model (keep 0.5 of
+    # every internal channel group, ~40% of weights gone), measure the raw
+    # post-surgery drop, fine-tune the smaller tree, and require recovery.
+    s_ok = True
+    if args.surgery:
+        from yolo_infer_tpu.optimization.pruning import PruningOptimizer
+
+        opt = PruningOptimizer(model, {"method": "structured", "physical": True, "sparsity": 0.5})
+        raw = opt.optimize()  # one-shot surgery, no fine-tune yet
+        raw_res = YOLO11Validator(model=raw, output_dir=root / "val_slim_raw").validate(
+            str(root / "data.yaml"), imgsz=args.imgsz, batch=8, conf=0.001, verbose=False)
+        print(f"slim (no fine-tune): {raw_res['metrics']}  "
+              f"params x{opt.get_optimization_info()['surgery']['params_ratio']:.3f}")
+
+        ft_epochs = max(args.epochs // 2, 50)
+        opt2 = PruningOptimizer(model, {"method": "structured", "physical": True, "sparsity": 0.5})
+        slim = opt2.optimize(data=str(root / "data.yaml"), epochs=ft_epochs, batch=8,
+                             imgsz=args.imgsz, max_boxes=4, val=False, lr0=0.005,
+                             project=str(root / "runs_slim"), name="ft", exist_ok=True, patience=0)
+        slim_res = YOLO11Validator(model=slim, output_dir=root / "val_slim").validate(
+            str(root / "data.yaml"), imgsz=args.imgsz, batch=8, conf=0.001, verbose=False)
+        print(f"slim (+{ft_epochs}ep fine-tune): {slim_res['metrics']}")
+        s_ok = slim_res["metrics"]["mAP50"] > 0.9
+        print("SURGERY RECOVERY CHECK:", "PASS" if s_ok else "FAIL (expect mAP50>0.9 after fine-tune)")
+
+    return 0 if (ok and q_ok and s_ok) else 1
 
 
 if __name__ == "__main__":
