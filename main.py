@@ -232,11 +232,14 @@ class YOLO11CLI:
             from yolo_infer_tpu.optimization.pruning import create_pruner
 
             pcfg = self._cfg("optimization", "pruning", default={}) or {}
+            physical = args.physical or bool(pcfg.get("physical", False))
             pruner = create_pruner(model, {
-                "method": "structured" if args.physical
+                # physical surgery implies structured whether requested via
+                # CLI flag or config key
+                "method": "structured" if physical
                 else self._pick(args.prune_method, pcfg.get("method"), "magnitude"),
                 "sparsity": self._pick(args.sparsity, pcfg.get("sparsity"), 0.5),
-                "physical": args.physical or bool(pcfg.get("physical", False)),
+                "physical": physical,
             })
             pruner.optimize(data=args.data, **({"epochs": args.epochs} if args.epochs else {}))
             out = args.output or f"{Path(model_path).stem}_pruned.msgpack"

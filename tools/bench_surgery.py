@@ -24,6 +24,21 @@ def row(**kw):
     print(json.dumps(kw), flush=True)
 
 
+TRANSIENT = ("INVALID_ARGUMENT", "InvalidArgument", "UNAVAILABLE", "DEADLINE", "INTERNAL", "RESOURCE_EXHAUSTED")
+
+
+def _retry(fn, attempts=2):
+    """The axon tunnel emits spurious InvalidArgument on very large compiles
+    (PERF_MATRIX notes) — retry once rather than lose the remaining rows."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            if i + 1 < attempts and any(t in f"{type(e).__name__}: {e}" for t in TRANSIENT):
+                continue
+            raise
+
+
 def main():
     import jax
 
@@ -54,7 +69,7 @@ def main():
             params_ratio=round(rep["params_ratio"], 4))
         for b in batches:
             for kind, m in (("dense", model), ("slim", slim)):
-                r = m.benchmark(640, b, runs=50, warmup=5)
+                r = _retry(lambda m=m, b=b: m.benchmark(640, b, runs=50, warmup=5))
                 row(size=size, batch=b, kind=kind,
                     fps=round(r["fps"], 1),
                     avg_ms=round(r["avg_time_s"] * 1e3, 3),

@@ -48,7 +48,7 @@ def main() -> int:
         row = {"size": size, "batch": args.batch, "gflops_per_img": round(fl / 1e9, 2),
                "mb_per_img_hlo": round(by / 1e6, 1),
                "mxu_roofline_img_s": round(PEAK_BF16 / fl, 0),
-               "hbm_upper_bound_img_s": round(PEAK_HBM / by, 0)}
+               "hbm_upper_bound_img_s": round(PEAK_HBM / by, 0) if by else None}
         if args.slim:
             from yolo_infer_tpu.optimization.surgery import slim_model
 

@@ -217,7 +217,7 @@ def _c3k_groups(path: str, p, keep_frac, align) -> List[Group]:
         groups[0].members.append(cv3)  # exactly one group applies the cv3 slice
     elif keep_b is None:
         groups[1].members.remove(cv3)  # nothing to slice
-    for i, (m, _) in enumerate(zip(p["m"], range(n_m))):
+    for i, m in enumerate(p["m"]):
         groups += _bottleneck_hidden(f"{path}.m.{i}", m, keep_frac, align)
     return groups
 
