@@ -4,6 +4,9 @@ model_export.py:1-7, which exported to ONNX). TPU-native deployment targets:
 
   msgpack      — the framework's native fused checkpoint
   safetensors  — flat tensor archive for interop
+  jaxexport    — self-contained AOT serving artifact (jax.export): the full
+                 pipeline with weights baked, loadable WITHOUT model code via
+                 yolo_infer_tpu.core.exported.ExportedPredictor.load
   stablehlo    — the jitted end-to-end program's StableHLO text (the XLA
                  deployment IR; what ONNX is to the torch world)
 
@@ -17,7 +20,7 @@ from pathlib import Path
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("model", help="model name (.pt/.msgpack path or yolo11[nsmlx] name)")
-    p.add_argument("--format", default="msgpack", choices=["msgpack", "safetensors", "stablehlo"])
+    p.add_argument("--format", default="msgpack", choices=["msgpack", "safetensors", "stablehlo", "jaxexport"])
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--output", default=None)
@@ -29,6 +32,15 @@ def main() -> int:
     if args.format in ("msgpack", "safetensors"):
         out = model.export(args.output, format=args.format)
         print(f"exported {args.format}: {out}")
+        return 0
+
+    if args.format == "jaxexport":
+        from yolo_infer_tpu.core.exported import export_predictor
+
+        out = export_predictor(
+            model, args.output or f"{Path(args.model).stem}_b{args.batch}_{args.imgsz}.jaxexp",
+            batch=args.batch, imgsz=args.imgsz)
+        print(f"exported jax.export artifact: {out} ({out.stat().st_size} bytes)")
         return 0
 
     # stablehlo: lower the full jitted pipeline and dump the module text

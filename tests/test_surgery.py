@@ -106,6 +106,21 @@ def test_chunk_surgery_m_scale():
         assert by_name[a].kept == by_name[b].kept
 
 
+def test_chain_link_surgery_l_scale():
+    """l/x have n_m=2 C3k chains: the y_i -> m[i+1] chain-link consumer path
+    (untaken at n/s/m where repeats resolve to 1) must stay equivalent."""
+    params, state, spec = _perturbed("detect", "l")
+    plan = build_plan(params, spec, keep_frac=0.5)
+    assert any(":y1" in g.name for g in plan)  # the path is actually exercised
+    sp, ss, plan, rep = slim_model(params, state, spec, keep_frac=0.5)
+    zp, zs = zero_removed(params, state, plan)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (1, 64, 64, 3))
+    a, _ = forward(sp, ss, spec, x, compute_dtype=jnp.float32)
+    b, _ = forward(zp, zs, spec, x, compute_dtype=jnp.float32)
+    assert _max_delta(a, b) < 2e-4
+    assert rep["params_ratio"] < 0.65
+
+
 def test_chunks_flag_off_is_gentler():
     params, state, spec = _perturbed()
     _, _, _, rep_all = slim_model(params, state, spec, keep_frac=0.5, chunks=True)

@@ -59,16 +59,25 @@ def main():
     if len(sys.argv) > 1:
         configs = [(s, [int(b) for b in bs.split(",")]) for s, bs in
                    (c.split(":") for c in sys.argv[1:])]
+    import os
+
+    keeps = [float(k) for k in os.environ.get("BENCH_KEEPS", "0.5").split(",")]
+    bench_dense = os.environ.get("BENCH_DENSE", "1") == "1"
     for size, batches in configs:
         model = YOLO11Model(f"yolo11{size}")
         n_dense = param_count(model.deploy_params)
-        slim_p, _, _, rep = slim_model(model.deploy_params, None, model.spec, keep_frac=0.5)
-        slim = YOLO11Model.from_params(slim_p, task="detect", size=size, nc=80, fused=True,
-                                       model_path=f"yolo11{size}-slim")
-        row(size=size, event="slimmed", params_dense=n_dense, params_slim=rep["params_after"],
-            params_ratio=round(rep["params_ratio"], 4))
+        slims = []
+        for keep in keeps:
+            slim_p, _, _, rep = slim_model(model.deploy_params, None, model.spec, keep_frac=keep)
+            slims.append((keep, YOLO11Model.from_params(
+                slim_p, task="detect", size=size, nc=80, fused=True,
+                model_path=f"yolo11{size}-slim{keep}")))
+            row(size=size, event="slimmed", keep=keep, params_dense=n_dense,
+                params_slim=rep["params_after"], params_ratio=round(rep["params_ratio"], 4))
         for b in batches:
-            for kind, m in (("dense", model), ("slim", slim)):
+            runs = [("dense", model)] if bench_dense else []
+            runs += [(f"slim{keep}", m) for keep, m in slims]
+            for kind, m in runs:
                 r = _retry(lambda m=m, b=b: m.benchmark(640, b, runs=50, warmup=5))
                 row(size=size, batch=b, kind=kind,
                     fps=round(r["fps"], 1),

@@ -1,0 +1,167 @@
+"""Portable AOT serving artifacts via `jax.export`.
+
+The TPU-native analog of the reference's ONNX export
+(reference official_scripts/model_export.py:1-7): one self-contained file
+holding the WHOLE serving program — on-device letterbox/normalize, bf16
+forward with the weights baked in as constants, DFL decode, batched NMS —
+as serialized StableHLO. A consumer loads and serves it WITHOUT the model
+code, spec tables, or weight checkpoints:
+
+    ExportedPredictor.load("yolo11n_b32_640.jaxexp").predict(images)
+
+Like any AOT artifact the program is specialized: batch/imgsz/max_det/task
+are fixed at export time (recorded in the metadata); conf/iou stay runtime
+scalars (traced args, no recompile). The file is msgpack:
+{"exported": <bytes>, "meta": {...}}.
+
+Platform note: jax.export records the lowering platform (cpu/tpu);
+artifacts serve on the platform they were exported for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def export_predictor(
+    model: Any,
+    path: Union[str, Path],
+    *,
+    batch: int = 1,
+    imgsz: int = 640,
+    multi_label: bool = False,
+    max_det: Optional[int] = None,
+) -> Path:
+    """Serialize `model`'s full serving program (weights baked) to `path`."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from jax import export as jexport
+
+    pred = model.predictor
+    md = max_det or pred.max_det
+    run = pred._get(batch, (imgsz, imgsz), imgsz, multi_label, md, None, None)
+    params = pred.params
+
+    def serve(images_u8, conf, iou):
+        # weights enter as closure constants -> baked into the artifact
+        return run(params, images_u8, conf, iou)
+
+    exp = jexport.export(jax.jit(serve))(
+        jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+    )
+    payload = {
+        "exported": exp.serialize(),
+        "meta": {
+            "format_version": FORMAT_VERSION,
+            "task": model.task,
+            "size": model.size,
+            "nc": model.nc,
+            "names": {str(k): v for k, v in model.names.items()},  # msgpack needs str keys
+            "batch": batch,
+            "imgsz": imgsz,
+            "max_det": md,
+            "multi_label": multi_label,
+            "platforms": list(exp.platforms),
+        },
+    }
+    path = Path(path)
+    path.write_bytes(serialization.msgpack_serialize(payload))
+    return path
+
+
+@dataclasses.dataclass
+class _SpecShim:
+    task: str
+
+
+class ExportedPredictor:
+    """Serve a `jax.export` artifact — no model code or weights needed."""
+
+    def __init__(self, exported, meta: Dict[str, Any]):
+        self._exp = exported
+        self.meta = meta
+        self.task = meta["task"]
+        self.batch = int(meta["batch"])
+        self.imgsz = int(meta["imgsz"])
+        self.names = {int(k): v for k, v in meta["names"].items()}
+        # duck-typed attrs so Predictor._postprocess works unchanged
+        self.spec = _SpecShim(task=self.task)
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "ExportedPredictor":
+        from flax import serialization
+        from jax import export as jexport
+
+        raw = serialization.msgpack_restore(Path(path).read_bytes())
+        meta = raw["meta"]
+        if int(meta.get("format_version", 0)) != FORMAT_VERSION:
+            raise ValueError(f"unsupported artifact version {meta.get('format_version')}")
+        return cls(jexport.deserialize(bytes(raw["exported"])), meta)
+
+    # -- raw program ---------------------------------------------------------
+
+    def predict_raw(self, images_u8, conf: float = 0.25, iou: float = 0.45):
+        """Run the baked program on a (batch, imgsz, imgsz, 3) uint8 array."""
+        import jax.numpy as jnp
+
+        if tuple(images_u8.shape) != (self.batch, self.imgsz, self.imgsz, 3):
+            raise ValueError(
+                f"artifact is specialized to {(self.batch, self.imgsz, self.imgsz, 3)}, "
+                f"got {tuple(images_u8.shape)}"
+            )
+        return self._exp.call(jnp.asarray(images_u8), jnp.float32(conf), jnp.float32(iou))
+
+    # -- convenience: same Results surface as Predictor.predict ---------------
+
+    _postprocess = None  # bound below to Predictor._postprocess
+
+    def predict(self, images: Union[np.ndarray, Sequence[np.ndarray]],
+                conf: float = 0.25, iou: float = 0.45) -> List[Any]:
+        """Host-letterbox `images` to the artifact signature and serve.
+
+        Accepts up to `batch` images; the batch is padded with zeros (pad
+        results are dropped)."""
+        import jax
+
+        from yolo_infer_tpu.ops.letterbox import letterbox
+
+        single = isinstance(images, np.ndarray) and images.ndim == 3
+        imgs = [images] if single else list(images)
+        if not imgs:
+            return []
+        if len(imgs) > self.batch:
+            raise ValueError(f"artifact batch is {self.batch}, got {len(imgs)} images")
+        lb = [letterbox(im, self.imgsz) for im in imgs]
+        batch_np = np.zeros((self.batch, self.imgsz, self.imgsz, 3), np.uint8)
+        for i, (im, _, _) in enumerate(lb):
+            batch_np[i] = im
+        t0 = time.perf_counter()
+        dets = self.predict_raw(batch_np, conf, iou)
+        dets = jax.tree_util.tree_map(lambda x: np.asarray(x), dets)
+        dt = (time.perf_counter() - t0) * 1000
+        # drop padding rows before postprocess
+        n = len(imgs)
+        dets = {k: v[:n] for k, v in dets.items()}
+        host_lb = [(l[1], l[2]) for l in lb]
+        orig_shapes = [tuple(im.shape[:2]) for im in imgs]
+        out = self._postprocess(dets, orig_shapes, host_lb, self.imgsz, dt)
+        return out[0:1] if single else out
+
+
+def _bind_postprocess():
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    ExportedPredictor._postprocess = Predictor._postprocess
+
+
+_bind_postprocess()
