@@ -57,10 +57,13 @@ def main():
 
     row(backend=jax.default_backend(), event="start")
     # two regimes bracket the real cost: conf=0.25 on random weights draws ~0
-    # boxes (draw-free ceiling); conf=1e-3 emits max_det boxes per frame so the
+    # boxes (draw-free ceiling); conf=1e-7 emits max_det boxes per frame so the
     # host draw/encode path is fully loaded (worst-case floor). conf is a
-    # traced scalar, so the second regime costs no recompile.
-    for conf, tag in ((0.25, "no_draw"), (1e-3, "max_draw")):
+    # traced scalar, so the second regime costs no recompile. NB the detect
+    # head's cls-bias init puts random-weight scores at ~1e-5 (the YOLO
+    # log(5/nc/anchors) prior), so conf must sit BELOW that — the 2026-08-18
+    # run used 1e-3 and its "max_draw" rows drew zero boxes.
+    for conf, tag in ((0.25, "no_draw"), (1e-7, "max_draw")):
         demo = DetectionDemo(model_size="n", conf_threshold=conf)
         for batch in (8, 32):
             # warmup run compiles the signature; second run is the measurement
