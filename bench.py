@@ -242,6 +242,34 @@ def main() -> None:
             if isinstance(extras.get("slim"), dict):
                 extras.update(extras.pop("slim"))
 
+        def _slim_int8():
+            # the levers stack: physical surgery (keep 0.5) + static8 PTQ at
+            # the HBM-bound regime (yolo11x @ b128) — the framework's best
+            # single number vs dense bf16 (tools/bench_slim_int8.py protocol)
+            import numpy as np
+
+            from yolo_infer_tpu.optimization.quantization.quantizers import PostTrainingQuantizer
+            from yolo_infer_tpu.optimization.surgery import slim_model
+
+            x = YOLO11Model("yolo11x")
+            sp, _, _, _rep = slim_model(x.deploy_params, None, x.spec, keep_frac=0.5)
+            xs = YOLO11Model.from_params(sp, task="detect", size="x", nc=80, fused=True,
+                                         model_path="yolo11x-slim")
+            q = PostTrainingQuantizer(xs, {"imgsz": imgsz})
+            rng = np.random.default_rng(0)
+            q.set_calibration_data([rng.integers(0, 255, (2, imgsz, imgsz, 3), dtype=np.uint8)])
+            r = q.optimize().benchmark(imgsz=imgsz, batch=128, runs=8, warmup=2)
+            out = {"x_slim_int8_fps_b128": round(r["throughput_imgs_per_s"], 1)}
+            dense = extras.get("x_fps_b128")
+            if isinstance(dense, (int, float)) and dense:
+                out["x_slim_int8_vs_dense_bf16"] = round(r["throughput_imgs_per_s"] / dense, 3)
+            return out
+
+        if os.environ.get("BENCH_SLIM_INT8", "1") == "1":
+            _try("slim_int8", _slim_int8)
+            if isinstance(extras.get("slim_int8"), dict):
+                extras.update(extras.pop("slim_int8"))
+
     # vs_baseline: ratio to the most recent recorded round, else 1.0
     prev = None
     here = os.path.dirname(os.path.abspath(__file__))
