@@ -22,6 +22,9 @@ Notes kept honest:
   are means over >=5 timed runs after warmup.
 
 Writes tools/../BASELINE_CPU.json and prints one JSON row per config.
+
+Run (CPU-only; keep the TPU claim free):
+  JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/bench_torch_baseline.py
 """
 
 import json
