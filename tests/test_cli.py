@@ -116,6 +116,29 @@ def test_demo_video_pipeline(tmp_path, capsys):
     assert summary["fps"] > 0
 
 
+def test_demo_video_draw_path_loaded(tmp_path):
+    """conf=0 keeps max_det candidates per frame, so the drain actually
+    scales/draws boxes — the leg the 2026-08-18 hardware run showed is
+    silent at any realistic conf on random weights (cls-bias init puts
+    scores at ~1e-5; tools/bench_video.py)."""
+    import cv2
+
+    video = tmp_path / "v2.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+    for i in range(6):
+        w.write(np.full((64, 64, 3), 60 + i * 20, np.uint8))
+    w.release()
+
+    from yolo_infer_tpu.demos.detection_demo import DetectionDemo
+
+    demo = DetectionDemo("n", conf_threshold=0.0, imgsz=64)
+    out_path = tmp_path / "out2.mp4"
+    summary = demo.detect_video(video, out_path, batch_size=4, progress_every=0)
+    assert summary["total_frames"] == 6
+    assert summary["total_detections"] > 0  # boxes were kept AND drawn
+    assert out_path.exists() and out_path.stat().st_size > 0
+
+
 def test_demo_task_parity(tmp_path):
     """reference main.py demo --task parity: every task runs end to end
     through DetectionDemo with task-aware drawing (draw_results)."""
