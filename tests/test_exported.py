@@ -72,7 +72,9 @@ def test_slim_model_exports(nano, tmp_path):
 
     slim = PruningOptimizer(nano, {"method": "structured", "physical": True, "sparsity": 0.5}).optimize()
     p = export_predictor(slim, tmp_path / "slim.jaxexp", batch=1, imgsz=64)
-    assert p.stat().st_size < (tmp_path / "slim.jaxexp").stat().st_size + 1  # exists
+    dense = export_predictor(nano, tmp_path / "dense.jaxexp", batch=1, imgsz=64)
+    # the slim artifact carries genuinely fewer weights than the dense export
+    assert p.exists() and p.stat().st_size < dense.stat().st_size
     ep = ExportedPredictor.load(p)
     img = np.random.default_rng(3).integers(0, 255, (64, 64, 3), dtype=np.uint8)
     a = slim.predict(img, conf=1e-4, imgsz=64)[0]

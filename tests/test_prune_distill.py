@@ -99,6 +99,56 @@ def test_pruned_forward_finite(nano):
     assert sparsity_report(nano.params)["prunable_sparsity"] < 0.01
 
 
+def test_magnitude_masks_exact_under_ties(nano):
+    """All-equal magnitudes must still hit the target count (argpartition
+    exact-k, not a >=-threshold that keeps every tied weight; ADVICE r3)."""
+    tied = jax.tree_util.tree_map(lambda x: jnp.ones_like(x), nano.params)
+    masks = magnitude_masks(tied, 0.5, scope="layer")
+    rep = sparsity_report(apply_masks(tied, masks))
+    assert abs(rep["prunable_sparsity"] - 0.5) < 0.01, rep
+
+
+def test_fused_magnitude_prune_actually_prunes(nano):
+    """Mask pruning on a FUSED deploy tree must zero weights, not silently
+    no-op through the all-ones-mask path (ADVICE r3 medium)."""
+    fused = YOLO11Model.from_params(
+        jax.tree_util.tree_map(jnp.copy, nano.deploy_params),
+        task="detect", size="n", nc=1, fused=True, compute_dtype=jnp.float32,
+    )
+    opt = PruningOptimizer(fused, {"method": "magnitude", "sparsity": 0.5})
+    pruned = opt.optimize()
+    info = opt.get_optimization_info()
+    assert info["after"]["prunable_sparsity"] > 0.45, info["after"]
+    # prediction convs excluded: the last conv of each head branch untouched
+    head = pruned.params["23"]
+    for branch in ("cv2", "cv3"):
+        final = head[branch][0][-1]
+        ref = fused.params["23"][branch][0][-1]
+        assert (np.asarray(final["w"]) == np.asarray(ref["w"])).all()
+
+
+def test_fused_structured_prune_zeroes_bias_too(nano):
+    fused_params = jax.tree_util.tree_map(jnp.copy, nano.deploy_params)
+    masks = channel_masks(fused_params, 0.5, fused=True)
+    pruned = apply_masks(fused_params, masks)
+    conv1 = pruned["1"]
+    w = np.asarray(conv1["w"])
+    dead = np.where((w == 0).all(axis=(0, 1, 2)))[0]
+    assert len(dead) == w.shape[-1] // 2
+    # folded bias zeroed on the same channels -> channel output is SiLU(0)=0
+    assert (np.asarray(conv1["b"])[dead] == 0).all()
+
+
+def test_fused_prune_with_data_raises_early(nano, synth_dataset):
+    fused = YOLO11Model.from_params(
+        nano.deploy_params, task="detect", size="n", nc=1, fused=True,
+        compute_dtype=jnp.float32,
+    )
+    opt = PruningOptimizer(fused, {"method": "magnitude", "sparsity": 0.5})
+    with pytest.raises(ValueError, match="unfused"):
+        opt.optimize(data=str(synth_dataset), epochs=1)
+
+
 def test_gradual_schedule_is_cubic():
     assert gradual_sparsity_schedule(0.0, 0.8, 0.0) == 0.0
     assert gradual_sparsity_schedule(0.0, 0.8, 1.0) == pytest.approx(0.8)

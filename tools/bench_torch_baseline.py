@@ -67,11 +67,15 @@ def main():
     import torch
 
     torch.backends.quantized.engine = "fbgemm"
+    # use every core the host offers; on this image nproc=1, so the recorded
+    # threads:1 is the environment's ceiling, not a handicap (ADVICE r3)
+    torch.set_num_threads(os.cpu_count() or 1)
     from tests.torch_ref import TorchYOLO11
 
     from yolo_infer_tpu.models.spec import build_spec
 
     out = {"host": "cpu", "torch": torch.__version__,
+           "cpu_count": os.cpu_count(),
            "threads": torch.get_num_threads(),
            "quant_engine": torch.backends.quantized.engine,
            "protocol": "reference speed_benchmark.py: wall-clock around forward, "

@@ -24,10 +24,14 @@ Design notes (why masks, not surgery):
     (core/train_step.py `param_mask`): pruned weights cannot regrow through
     SGD momentum or weight decay.
 
-Only conv(+BN) blocks are prunable — params dicts carrying both 'w' and
-'gamma'. The detect/segment/pose/obb prediction convs (the {'w','b'} leaves
-that emit class/box/keypoint maps) and the classify head are never pruned:
-zeroing their output channels deletes output classes, not capacity.
+Prunable surface: on training-form (unfused) trees, conv+BN blocks — params
+dicts carrying both 'w' and 'gamma'. On FUSED deploy trees every conv is
+{'w','b'}, so prunability is structural instead (_iter_prunable): the
+detect/segment/pose/obb prediction convs (the last conv of each head branch)
+and the classify 'linear' are excluded, because zeroing their output
+channels deletes output classes, not capacity. Fused models are prune-only —
+fine-tuning requires the unfused checkpoint and fails fast with a clear
+error.
 """
 
 from __future__ import annotations
@@ -50,76 +54,105 @@ METHODS = ("magnitude", "structured", "unstructured", "gradual")
 # --------------------------------------------------------------------- masks
 
 
-def _walk_prunable(params: Any):
-    """Yield every prunable conv dict (has both 'w' and 'gamma')."""
-    if isinstance(params, dict):
-        if "w" in params and "gamma" in params:
-            yield params
-        for v in params.values():
-            yield from _walk_prunable(v)
-    elif isinstance(params, (list, tuple)):
-        for v in params:
-            yield from _walk_prunable(v)
+def _is_conv(d: Any) -> bool:
+    return isinstance(d, dict) and "w" in d
+
+
+def _iter_prunable(params: Any, masks: Any = None, fused: bool = False):
+    """Yield prunable conv dicts, paired with the parallel mask dict when
+    `masks` is given (else paired with None).
+
+    Unfused trees: prunable = conv+BN dicts ({'w','gamma'}); head prediction
+    convs carry no 'gamma' and fall out naturally. Fused trees: EVERY conv is
+    {'w','b'}, so prunability is structural — the final conv of a head branch
+    (a list of conv dicts: detect/segment/pose/obb cv2/cv3/cv4) and the
+    classify 'linear' are excluded, because zeroing them deletes output
+    classes/boxes, not capacity. int8 trees ('w_q') are never prunable.
+    """
+
+    def walk(p, m, skip):
+        if isinstance(p, dict):
+            if _is_conv(p):
+                ok = (not skip and "b" in p) if fused else ("gamma" in p)
+                if ok:
+                    yield (p, m)
+                return
+            for k in p:
+                yield from walk(p[k], m[k] if m is not None else None, skip or k == "linear")
+        elif isinstance(p, (list, tuple)):
+            is_branch = len(p) > 0 and all(_is_conv(v) for v in p)
+            for i, v in enumerate(p):
+                yield from walk(v, m[i] if m is not None else None,
+                                skip or (is_branch and i == len(p) - 1))
+
+    yield from walk(params, masks, False)
+
+
+def _walk_prunable(params: Any, fused: bool = False):
+    """Yield every prunable conv dict (see _iter_prunable)."""
+    for conv, _ in _iter_prunable(params, None, fused):
+        yield conv
 
 
 def _ones_like_tree(params: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.ones(x.shape, np.float32), params)
 
 
-def _map_prunable(params: Any, masks: Any, fn) -> None:
-    """Apply fn(conv_dict, mask_dict) in-place over parallel trees."""
-    if isinstance(params, dict):
-        if "w" in params and "gamma" in params:
-            fn(params, masks)
-        else:
-            for k in params:
-                _map_prunable(params[k], masks[k], fn)
-    elif isinstance(params, (list, tuple)):
-        for p, m in zip(params, masks):
-            _map_prunable(p, m, fn)
+def _exact_k_zero_mask(flat_mags: np.ndarray, k: int) -> np.ndarray:
+    """Boolean zero-mask selecting EXACTLY k smallest-magnitude entries.
+
+    A >=-threshold comparison keeps every weight tied with the k-th smallest,
+    so achieved sparsity lands below target on tied values (degenerate
+    all-equal layers would not prune at all) — argpartition breaks ties
+    arbitrarily but hits k exactly (ADVICE r3)."""
+    zero = np.zeros(flat_mags.size, bool)
+    if k >= flat_mags.size:
+        zero[:] = True
+    elif k > 0:
+        zero[np.argpartition(flat_mags, k - 1)[:k]] = True
+    return zero
 
 
-def magnitude_masks(params: Any, sparsity: float, scope: str = "global") -> Any:
+def magnitude_masks(params: Any, sparsity: float, scope: str = "global", fused: bool = False) -> Any:
     """Weight-level masks zeroing the smallest-|w| fraction.
 
-    scope='global' ranks magnitudes across ALL prunable convs (one threshold —
+    scope='global' ranks magnitudes across ALL prunable convs (one pool —
     the 'magnitude' method); scope='layer' prunes each conv to `sparsity`
-    independently (the 'unstructured' method). Returns a float32 {0,1} pytree
-    with the SAME structure as `params` (non-prunable leaves get all-ones).
+    independently (the 'unstructured' method). Exactly floor(sparsity·n)
+    weights are zeroed per pool (ties broken arbitrarily). Returns a float32
+    {0,1} pytree with the SAME structure as `params` (non-prunable leaves get
+    all-ones). `fused=True` prunes {'w','b'} deploy trees (prediction convs
+    structurally excluded — see _iter_prunable).
     """
     sparsity = float(np.clip(sparsity, 0.0, 1.0))
     masks = _ones_like_tree(params)
-    convs = [np.abs(np.asarray(c["w"], np.float32)) for c in _walk_prunable(params)]
-    if not convs or sparsity == 0.0:
+    pairs = list(_iter_prunable(params, masks, fused))
+    if not pairs or sparsity == 0.0:
         return masks
+    mags = [np.abs(np.asarray(c["w"], np.float32)).reshape(-1) for c, _ in pairs]
 
     if scope == "global":
-        flat = np.concatenate([w.reshape(-1) for w in convs])
-        k = int(sparsity * flat.size)
-        thresh = np.partition(flat, k)[k] if 0 < k < flat.size else (np.inf if k else -np.inf)
-
-        def _mask(conv, m):
-            m["w"] = (np.abs(np.asarray(conv["w"], np.float32)) >= thresh).astype(np.float32)
-
+        flat = np.concatenate(mags)
+        zero = _exact_k_zero_mask(flat, int(sparsity * flat.size))
+        off = 0
+        for (conv, m), w in zip(pairs, mags):
+            z = zero[off: off + w.size]
+            off += w.size
+            m["w"] = (~z).astype(np.float32).reshape(np.asarray(conv["w"]).shape)
     else:  # per-layer
-
-        def _mask(conv, m):
-            w = np.abs(np.asarray(conv["w"], np.float32)).reshape(-1)
-            k = int(sparsity * w.size)
-            if 0 < k < w.size:
-                t = np.partition(w, k)[k]
-                m["w"] = (np.abs(np.asarray(conv["w"], np.float32)) >= t).astype(np.float32)
-
-    _map_prunable(params, masks, _mask)
+        for (conv, m), w in zip(pairs, mags):
+            zero = _exact_k_zero_mask(w, int(sparsity * w.size))
+            m["w"] = (~zero).astype(np.float32).reshape(np.asarray(conv["w"]).shape)
     return masks
 
 
-def channel_masks(params: Any, sparsity: float) -> Any:
+def channel_masks(params: Any, sparsity: float, fused: bool = False) -> Any:
     """Structured masks zeroing whole output channels (lowest L2 norm first).
 
     Per prunable conv, channels are ranked by the L2 norm of w[..., c]; the
-    lowest `sparsity` fraction is zeroed in w AND in the BN affine
-    (gamma/beta), so the channel's output is identically zero after SiLU.
+    lowest `sparsity` fraction is zeroed in w AND in the channel's affine
+    tail — BN gamma/beta on unfused trees, the folded bias on fused trees —
+    so the channel's output is identically zero after SiLU.
     At least one channel per conv always survives.
     """
     sparsity = float(np.clip(sparsity, 0.0, 1.0))
@@ -127,21 +160,20 @@ def channel_masks(params: Any, sparsity: float) -> Any:
     if sparsity == 0.0:
         return masks
 
-    def _mask(conv, m):
+    for conv, m in _iter_prunable(params, masks, fused):
         w = np.asarray(conv["w"], np.float32)
         c_out = w.shape[-1]
         norms = np.sqrt((w.reshape(-1, c_out) ** 2).sum(axis=0))
         n_prune = min(int(sparsity * c_out), c_out - 1)
         if n_prune <= 0:
-            return
+            continue
         dead = np.argsort(norms)[:n_prune]
         ch = np.ones(c_out, np.float32)
         ch[dead] = 0.0
         m["w"] = np.broadcast_to(ch, w.shape).copy()
-        m["gamma"] = ch.copy()
-        m["beta"] = ch.copy()
-
-    _map_prunable(params, masks, _mask)
+        for key in ("gamma", "beta", "b"):
+            if key in conv:
+                m[key] = ch.copy()
     return masks
 
 
@@ -154,10 +186,10 @@ def combine_masks(a: Any, b: Any) -> Any:
     return jax.tree_util.tree_map(lambda x, y: x * y, a, b)
 
 
-def sparsity_report(params: Any) -> Dict[str, float]:
+def sparsity_report(params: Any, fused: bool = False) -> Dict[str, float]:
     """Achieved sparsity over the prunable surface (and overall zeros)."""
     prunable_total = prunable_zero = 0
-    for conv in _walk_prunable(params):
+    for conv in _walk_prunable(params, fused):
         w = np.asarray(conv["w"])
         prunable_total += w.size
         prunable_zero += int((w == 0).sum())
@@ -228,11 +260,11 @@ class PruningOptimizer(BaseOptimizer):
 
     # -- internals -------------------------------------------------------
 
-    def _masks_at(self, params: Any, sparsity: float) -> Any:
+    def _masks_at(self, params: Any, sparsity: float, fused: bool = False) -> Any:
         if self.method == "structured":
-            return channel_masks(params, sparsity)
+            return channel_masks(params, sparsity, fused=fused)
         scope = "layer" if self.method == "unstructured" else "global"
-        return magnitude_masks(params, sparsity, scope=scope)
+        return magnitude_masks(params, sparsity, scope=scope, fused=fused)
 
     def _student_copy(self):
         """Trainable copy of self.model (original left untouched for
@@ -300,8 +332,9 @@ class PruningOptimizer(BaseOptimizer):
     def optimize(self, data: Optional[str] = None, epochs: int = 4, **train_kw) -> Any:
         if self.physical:
             return self._optimize_physical(data, epochs, **train_kw)
-        t_params = self.model.params if self.model.state is not None else self.model.deploy_params
-        before = sparsity_report(t_params)
+        model_fused = self.model.state is None
+        t_params = self.model.params if not model_fused else self.model.deploy_params
+        before = sparsity_report(t_params, fused=model_fused)
 
         if self.method == "gradual" and data:
             student = self._student_copy()
@@ -319,9 +352,17 @@ class PruningOptimizer(BaseOptimizer):
                 logger.info("gradual prune round %d/%d: sparsity %.3f", r + 1, rounds, s_t)
             fine_tune_info: Any = history
         else:
-            if self.model.state is not None:
+            if not model_fused:
                 student = self._student_copy()
-            else:  # fused model: prune-only (no fine-tune possible)
+            else:  # fused model: prune-only on the deploy tree
+                if data:
+                    # fail HERE, not deep inside the trainer (ADVICE r3):
+                    # fine-tuning needs BN state, which a fused tree has lost
+                    raise ValueError(
+                        "fine-tuning a pruned model needs training-form (unfused) params; "
+                        f"{self.model.model_path!r} was loaded fused — re-load the unfused "
+                        "checkpoint, or call optimize() without data for prune-only"
+                    )
                 from yolo_infer_tpu.core.model import YOLO11Model
 
                 m = self.model
@@ -330,7 +371,7 @@ class PruningOptimizer(BaseOptimizer):
                     nc=m.nc, names=m.names, fused=True, compute_dtype=m.compute_dtype,
                     model_path=f"{m.model_path}-pruned",
                 )
-            self.masks = self._masks_at(student.params, self.sparsity)
+            self.masks = self._masks_at(student.params, self.sparsity, fused=model_fused)
             student.params = apply_masks(student.params, self.masks)
             student.invalidate()
             fine_tune_info = None
@@ -338,7 +379,8 @@ class PruningOptimizer(BaseOptimizer):
                 fine_tune_info = {k: v for k, v in self._fine_tune(student, self.masks, data, epochs, **train_kw).items()
                                   if k in ("status", "epochs_completed", "best_fitness")}
 
-        after = sparsity_report(student.params if student.state is not None else student.deploy_params)
+        after = sparsity_report(student.params if student.state is not None else student.deploy_params,
+                                fused=student.state is None)
         self.optimized_model = student
         self.optimization_info = {
             "method": self.method,
