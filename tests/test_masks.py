@@ -158,6 +158,29 @@ def test_predict_many_drains_masks_to_host(tiny_seg_predictors):
         assert m.shape == (len(r.masks), mh, mw) and set(np.unique(m)) <= {0.0, 1.0}
 
 
+def test_lazy_masks_prefetch_one_transfer(tiny_seg_predictors):
+    """LazyMasks.prefetch materializes a whole batch identically to the
+    per-image path (same banded crop math), and attribute probes for
+    non-ndarray names never trigger the transfer."""
+    from yolo_infer_tpu.core.predictor import LazyMasks
+
+    p_dev, _, _ = tiny_seg_predictors
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (48, 64, 3), dtype=np.uint8) for _ in range(3)]
+    ra = p_dev.predict(imgs, conf=0.001, imgsz=64)
+    rb = p_dev.predict(imgs, conf=0.001, imgsz=64)
+    lazies = [r.masks for r in ra if isinstance(r.masks, LazyMasks)]
+    assert lazies, "need lazy masks for a meaningful test"
+    # non-ndarray attribute probes stay lazy (no hidden 67 ms transfer)
+    assert not hasattr(lazies[0], "cpu") and not hasattr(lazies[0], "to")
+    assert lazies[0]._np is None
+    LazyMasks.prefetch(ra)
+    for r1, r2 in zip(ra, rb):
+        if isinstance(r2.masks, LazyMasks):
+            assert r1.masks._np is not None, "prefetch must materialize"
+            np.testing.assert_array_equal(np.asarray(r1.masks), np.asarray(r2.masks))
+
+
 def test_predictor_bits_mode_binary(tiny_seg_predictors):
     """mask_out='bits' via predict_raw yields the packed val artifact."""
     import jax.numpy as jnp
