@@ -71,8 +71,12 @@ class YOLO11Validator:
         verbose: bool = True,
         confusion_matrix: bool = False,
         pre_topk: int = 4096,
+        limit: Optional[int] = None,
     ) -> Dict[str, Any]:
-        """Run validation; returns {metrics, speed, num_images, ...}."""
+        """Run validation; returns {metrics, speed, num_images, ...}.
+
+        `limit` caps the split to its first N images (deterministic order) —
+        for quick fidelity sweeps like tools/fetch_and_verify.py."""
         import jax.numpy as jnp
 
         from yolo_infer_tpu.core.metrics import ConfusionMatrix
@@ -81,6 +85,8 @@ class YOLO11Validator:
         ds_task = task if task in ("segment", "pose", "obb") else "detect"
         kpt_shape = getattr(self.model.spec, "kpt_shape", (17, 3))
         ds = YOLODataset(data, split=split, task=ds_task, kpt_shape=kpt_shape)
+        if limit is not None:
+            ds.images = ds.images[:limit]
         metrics = DetMetrics(nc=ds.nc)
         task_metrics = DetMetrics(nc=ds.nc) if ds_task in ("segment", "pose") else None
         cm = ConfusionMatrix(nc=ds.nc) if confusion_matrix else None
