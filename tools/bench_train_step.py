@@ -32,6 +32,7 @@ def main():
 
     enable_compile_cache()
     imgsz = int(os.environ.get("IMGSZ", "640"))
+    qat = os.environ.get("QAT", "0") == "1"  # fake-quant (STE) in the step
     rng = np.random.default_rng(0)
     res = []
     for size in os.environ.get("SIZES", "n,m").split(","):
@@ -39,7 +40,7 @@ def main():
             # the PRODUCTION step: yolo_sgd warmup optimizer, finite guard, EMA
             ts = init_train_state(jax.random.PRNGKey(0), "detect", size, nc=80, imgsz=imgsz)
             spec = ts.spec
-            step = make_train_step(spec, ts.tx)
+            step = make_train_step(spec, ts.tx, qat=qat)
             m = 32  # max GT boxes
             batch = {
                 "images": jnp.asarray(rng.random((b, imgsz, imgsz, 3), np.float32)),
@@ -63,6 +64,8 @@ def main():
             row = {"size": size, "batch": b, "train_step_ms": round(ms, 2),
                    "train_imgs_per_s": round(b / ms * 1e3, 1), "compile_s": round(compile_s, 1),
                    "loss_finite": bool(np.isfinite(float(metrics["loss"])))}
+            if qat:
+                row["kind"] = "qat_train_step"
             res.append(row)
             print(json.dumps(row), flush=True)
     print(json.dumps({"imgsz": imgsz, "rows": res}))

@@ -20,6 +20,9 @@ def main() -> int:
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--surgery", action="store_true",
                    help="also check physical-pruning recovery: slim the trained model, fine-tune, re-validate")
+    p.add_argument("--qat", action="store_true",
+                   help="also check QAT: fake-quant fine-tune the trained model, convert to int8, "
+                        "gate the fake-quant->int8 serving mAP delta")
     p.add_argument("--workdir", default="/tmp/overfit_check")
     args = p.parse_args()
 
@@ -125,7 +128,37 @@ def main() -> int:
         s_ok = slim_res["metrics"]["mAP50"] > 0.9
         print("SURGERY RECOVERY CHECK:", "PASS" if s_ok else "FAIL (expect mAP50>0.9 after fine-tune)")
 
-    return 0 if (ok and q_ok and s_ok) else 1
+    # QAT protocol (reference quantizers.py:521-634 trains a 10-epoch Adam
+    # loop with a ZERO placeholder loss; this stack trains the real TAL loss
+    # with fake-quant STE): fine-tune the trained model under fake-quant,
+    # convert to int8, and require the converted model to keep the mAP the
+    # fake-quant training achieved — the conversion delta is the whole point
+    # of QAT.
+    qat_ok = True
+    if args.qat:
+        from yolo_infer_tpu.optimization.quantization.quantizers import QATQuantizer
+
+        qat_epochs = max(args.epochs // 4, 25)
+        qq = QATQuantizer(model, {"epochs": qat_epochs, "lr": 5e-4})
+        qat_int8 = qq.optimize(
+            data=str(root / "data.yaml"), batch=8, imgsz=args.imgsz, max_boxes=4,
+            val=False, mosaic=0.0, project=str(root / "runs_qat"), name="ft",
+            exist_ok=True, patience=0,
+        )
+        # float serving of the SAME fake-quant-trained weights (model is
+        # trained in place by the QAT trainer)
+        fp_res = YOLO11Validator(model=model, output_dir=root / "val_qat_fp").validate(
+            str(root / "data.yaml"), imgsz=args.imgsz, batch=8, conf=0.001, verbose=False)
+        int8_res = YOLO11Validator(model=qat_int8, output_dir=root / "val_qat_int8").validate(
+            str(root / "data.yaml"), imgsz=args.imgsz, batch=8, conf=0.001, verbose=False)
+        qd = fp_res["metrics"]["mAP50"] - int8_res["metrics"]["mAP50"]
+        print(f"qat fp-serve:   {fp_res['metrics']}")
+        print(f"qat int8-serve: {int8_res['metrics']}  (fake-quant->int8 mAP50 delta: {qd:+.4f})")
+        qat_ok = fp_res["metrics"]["mAP50"] > 0.9 and abs(qd) < 0.02
+        print("QAT CONVERSION CHECK:", "PASS" if qat_ok else
+              "FAIL (expect trained mAP50>0.9 and |int8 delta|<0.02)")
+
+    return 0 if (ok and q_ok and s_ok and qat_ok) else 1
 
 
 if __name__ == "__main__":
