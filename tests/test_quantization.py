@@ -112,6 +112,43 @@ def test_ptq_static8_outputs_close(float_model):
         assert np.abs(a - b).mean() / denom < 0.35, np.abs(a - b).mean() / denom
 
 
+def test_static8_c64_eligibility_is_rows_keyed():
+    """C=64 convs quantize only when rows = N*H*W clears int8_c64_min_rows.
+
+    Shape-aware generalization of the old batch>=64 rule (VERDICT r3 #9):
+    the SAME batch must flip eligibility when the spatial extent changes,
+    so int8 cannot silently lose at non-640 image sizes.
+    """
+    from yolo_infer_tpu.nn.layers import conv_block
+    from yolo_infer_tpu.nn.quantize import (
+        QAct,
+        QuantContext,
+        quant_context,
+        quantize_weights_per_channel,
+    )
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 64)).astype(np.float32))
+    w_q, w_scale = quantize_weights_per_channel(w)
+    params = {"w_q": w_q, "w_scale": w_scale, "b": jnp.zeros((64,), jnp.float32)}
+    scales = jnp.asarray([[1.0, 1.0]], jnp.float32)
+
+    def run(n, hw, min_rows):
+        x = jnp.asarray(rng.normal(0, 1, (n, hw, hw, 64)).astype(np.float32))
+        ctx = QuantContext("static8", act_scales=scales)
+        ctx.int8_c64_min_rows = min_rows
+        with quant_context(ctx):
+            y, _ = conv_block(params, None, x)
+        return y
+
+    # below the volume boundary: exempt -> plain float output
+    assert not isinstance(run(2, 8, min_rows=2 * 8 * 8 + 1), QAct)
+    # same batch, bigger spatial extent -> quantized (QAct residency)
+    assert isinstance(run(2, 16, min_rows=2 * 8 * 8 + 1), QAct)
+    # same spatial, bigger batch -> quantized too (the old rule's axis)
+    assert isinstance(run(4, 8, min_rows=4 * 8 * 8), QAct)
+
+
 def test_ptq_requires_calibration(float_model):
     with pytest.raises(RuntimeError, match="calibration"):
         PostTrainingQuantizer(float_model).optimize()

@@ -255,14 +255,20 @@ def conv_block(
             sx, sy = ctx.next_scale_pair()
             ci = params["w_q"].shape[2] * groups
             co = params["w_q"].shape[3]
-            # eligibility is batch-aware (trace-time): at large batch the
-            # 1-byte HBM residency pays off down to C=64; at small batch only
-            # C>=128 convs beat bf16 (measured sweep — see QuantContext).
+            # eligibility is shape-aware (trace-time): C>=128 convs always
+            # quantize; C=64 convs quantize only when this conv's activation
+            # volume rows = N*H*W clears int8_c64_min_rows — the regime where
+            # the 1-byte HBM residency pays off (VERDICT r3 #9: the old rule
+            # keyed on raw batch>=64 and was calibrated only at imgsz 640, so
+            # at 1280 int8 could silently lose). Rows generalizes it: at 640
+            # the C=64 convs live at the 80x80 level, so batch 64 = 409.6k
+            # rows (old rule fired) and batch 32 = 204.8k (didn't).
             # Thresholds beyond any real channel count (>1024) are explicit
             # exempt-everything requests (the weight-only int8 knob) and must
-            # NOT be clamped by the large-batch rule.
+            # NOT be relaxed by the volume rule.
             thresh = ctx.int8_min_channels
-            if x.shape[0] >= 64 and thresh <= 1024:
+            rows = x.shape[0] * x.shape[1] * x.shape[2]
+            if rows >= ctx.int8_c64_min_rows and thresh <= 1024:
                 thresh = min(thresh, 64)
             exempt = min(ci, co) < thresh
             if exempt or (ctx.float_convs is not None and idx in ctx.float_convs):

@@ -27,6 +27,7 @@ analog of torch observer modules).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -221,6 +222,12 @@ class QuantContext:
     # boundary sweep): int8 convs WIN at C>=128 (1.10-1.32x bf16), sit at
     # ~0.93-0.99x for C=64, and collapse to 0.34x at C=32 with large
     # batch*spatial — the source of the round-2 b32 e2e regression.
+    int8_c64_min_rows: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("YOLO_INT8_C64_MIN_ROWS", 400_000))
+    )  # C=64 convs quantize when their input rows N*H*W reach this volume —
+    # the shape-aware generalization of the old "batch >= 64 at 640" rule
+    # (at 640, b64 puts the 80x80 C=64 level at 409.6k rows). Overridable by
+    # env for hardware calibration sweeps (tools/bench_quant_e2e.py).
 
     def observe(self, x: jnp.ndarray) -> None:
         self.collected.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
