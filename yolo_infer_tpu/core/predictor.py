@@ -268,7 +268,7 @@ class Predictor:
 
         return jax.device_put(images_u8, NamedSharding(self.mesh, P("data")))
 
-    def _forward(self, params, x):
+    def _forward(self, params, x, early_tiles=None):
         """Model forward, inside a static-quant context when PTQ scales exist."""
         from yolo_infer_tpu.nn.quantize import QuantContext, quant_context
 
@@ -279,7 +279,8 @@ class Predictor:
             kw = {} if self.quant_min_channels is None else {"int8_min_channels": int(self.quant_min_channels)}
             with quant_context(QuantContext(mode, act_scales=self.quant_act_scales, **kw)):
                 return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype, attn_impl=attn_impl)
-        return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype, attn_impl=attn_impl)
+        return forward(params, None, self.spec, x, compute_dtype=self.compute_dtype, attn_impl=attn_impl,
+                       early_tiles=early_tiles)
 
     # -- compiled program ---------------------------------------------------
 
@@ -289,6 +290,12 @@ class Predictor:
 
         @jax.jit
         def run(params, images_u8, conf, iou):
+            # NB: tiling the RAW u8 frames here (convert fused per tile) was
+            # tried and measured SLOWER than letting forward() tile the bf16
+            # activations (12.6 vs 11.3 ms at n/b32): u8's (32,128) tiling
+            # makes the slice/concat copies ~2x less efficient per byte than
+            # the same copies on bf16. The early-tiled path therefore lives
+            # entirely in models/yolo11.forward (models/early.py).
             x = preprocess_batch(images_u8, out_hw=(imgsz, imgsz), dtype=compute_dtype)
             out, _ = self._forward(params, x)
             extras: Dict[str, jnp.ndarray] = {}

@@ -87,6 +87,10 @@ def forward(
     training: bool = False,
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",  # "xla" forces einsum attention (meshed serving)
+    early_tiles: Optional[Tuple[int, int, int]] = None,  # (B, H, W): `x` is a
+    # prebuilt (t*t*B, hs, ws, 3) tile stack from models.early.build_tiles —
+    # the serving path tiles the RAW u8 frames so the /255 convert fuses
+    # per-tile (core/predictor.py) instead of materializing full-res bf16
 ) -> Tuple[Any, Optional[State]]:
     """Run the model DAG. `x` is (B, H, W, 3) float in [0, 1].
 
@@ -103,7 +107,40 @@ def forward(
     new_state: State = {}
     prev = x
     out: Any = None
+    start_idx = 0
+    if early_tiles is not None:
+        from yolo_infer_tpu.models import early as E
+
+        b0, h0, w0 = early_tiles
+        prev, saved_early = E.run_early_from_tiles(params, spec, x, b0, h0, w0)
+        ys.update(saved_early)
+        start_idx = E.EARLY_UPTO_DEFAULT + 1
+    elif not training and state is None:
+        # small-batch lane fix: at 8 <= B < 128 the XLA conv emitter for the
+        # tiny-channel early stage (layers 0-2) pads batch -> 128 lanes, so
+        # b32 pays nearly the b128 cost (~8.9 of 12.9 ms at n/b32 on v5e).
+        # Run those layers on 2x2 halo-padded quadrants instead: 4B tiles
+        # fill the lanes, the halo >= receptive field makes interiors exact,
+        # and only interiors are stitched back (models/early.py;
+        # measured A/B in tools/bench_early_layouts.py).
+        import os as _os
+
+        from yolo_infer_tpu.models import early as E
+        from yolo_infer_tpu.nn import quantize as Q
+
+        if (
+            _os.environ.get("YOLO_TPU_EARLY_TILED", "1") == "1"
+            and attn_impl != "xla"  # meshed serving: keep the batch axis GSPMD-clean
+            and Q.current_context() is None
+            and not isinstance(x, Q.QAct)
+            and E.tiled_eligible(params, spec, x.shape[0], x.shape[1], x.shape[2])
+        ):
+            prev, saved_early = E.run_early_tiled(params, spec, x)
+            ys.update(saved_early)
+            start_idx = E.EARLY_UPTO_DEFAULT + 1
     for layer in spec.layers:
+        if layer.idx < start_idx:
+            continue
         t = layer.typ
         key = str(layer.idx)
         s = state.get(key) if state is not None else None
