@@ -152,6 +152,34 @@ def test_fused_attention_kernel_matches_xla(n, kd, hd, heads):
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("n,kd,hd,heads", [(400, 32, 64, 2), (400, 32, 64, 4), (64, 16, 32, 1)])
+def test_fused_qkv_attention_kernel_matches_xla(n, kd, hd, heads, b=3):
+    """attention_qkv_fused_pallas on the raw head-major qkv slab == the
+    apply_attention XLA math (pack -> batched dots -> f32 softmax -> unpack)."""
+    import jax
+
+    from yolo_infer_tpu.ops.pallas.attention_fused import attention_qkv_fused_pallas
+
+    rng = np.random.default_rng(1)
+    step = 2 * kd + hd
+    qkv_raw = jnp.asarray(rng.standard_normal((b, n, heads * step)).astype(np.float32), jnp.bfloat16)
+    got = np.asarray(attention_qkv_fused_pallas(qkv_raw, heads, kd, hd, interpret=True), np.float32)
+
+    # reference: the blocks.apply_attention else-branch, head-major unpack
+    qkv = qkv_raw.reshape(b, n, heads, step)
+    q, k, v = qkv[..., :kd], qkv[..., kd : 2 * kd], qkv[..., 2 * kd :]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * heads, n, kd)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * heads, n, kd)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * heads, n, hd)
+    s = jax.lax.dot_general(qt, kt, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * (kd ** -0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    o = jax.lax.dot_general(p, vt, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    want = np.asarray(o.reshape(b, heads, n, hd).transpose(0, 2, 1, 3).reshape(b, n, heads * hd), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
 def test_mask_pack_kernel_matches_xla_phase_path():
     """upsample4x_threshold_pack (interpret mode) == the XLA phase-decomposed
     reference on random soft masks, bit-exact."""

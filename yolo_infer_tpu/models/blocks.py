@@ -194,25 +194,37 @@ def init_attention(rng, dim: int, *, num_heads: int, attn_ratio: float = 0.5, dt
     )
 
 
-def _attn_use_pallas(qkv, s, training: bool, impl: str) -> bool:
-    """Fused attention kernel gate: deploy-time inference on TPU only.
+def _attn_impl(qkv, s, training: bool, impl: str, n: int) -> str:
+    """Attention implementation choice: "fused" | "pallas" | "xla".
 
-    Opt-in only (YOLO_ATTN_IMPL=pallas): measured 2.1x SLOWER than the XLA
-    path on v5e-1 (5.66 vs 2.71 ms standalone at n-scale b128) — per-(batch,
-    head) dots at N=400/d=32 are too small to fill the MXU, while XLA batches
-    all heads into one large GEMM. Kept as a tested, documented alternative
-    for shapes where the attention matrix would not fit VMEM-adjacent HBM
-    budgets. impl="xla" always forces the einsum path (GSPMD mesh, training).
+    "fused" (attention_qkv_fused_pallas) is the deploy-time default on the
+    TPU backend: it consumes the raw qkv-conv slab with no head-major
+    repack — the b32 device trace showed the XLA path's pack fusion at
+    1.47 ms and its f32 softmax chain at ~1.6 ms, vs ~0.2 ms for the whole
+    fused kernel (tools/bench_attn_fused.py, 2026-08-19). Requires the f32
+    score tile (N x N per head) to fit VMEM — true through imgsz 1280
+    (N=1600, 10.2 MB of the ~16 MB/core budget); larger N falls back to XLA.
+
+    "pallas" (opt-in via YOLO_ATTN_IMPL=pallas) is the older per-(batch,
+    head) kernel fed by a host-side pack: measured 2.1x slower than XLA
+    standalone (5.66 vs 2.71 ms at n-scale b128) — kept as a tested
+    alternative. impl="xla" always forces the einsum path (GSPMD mesh,
+    training), as does any quantized/traced-through activation type.
     """
     import os
 
-    return (
-        impl != "xla"
-        and os.environ.get("YOLO_ATTN_IMPL") == "pallas"
-        and not training
-        and s is None
-        and isinstance(qkv, jnp.ndarray)
-    )
+    if (
+        impl == "xla"
+        or training
+        or s is not None
+        or not isinstance(qkv, jnp.ndarray)
+        or jax.default_backend() == "cpu"
+    ):
+        return "xla"
+    env = os.environ.get("YOLO_ATTN_IMPL", "")
+    if env in ("xla", "pallas", "fused"):
+        return env
+    return "fused" if n * n * 4 <= 12 * 2**20 else "xla"
 
 
 def apply_attention(p, s, x, *, num_heads: int, attn_ratio: float = 0.5, training: bool = False, impl: str = "auto"):
@@ -222,9 +234,18 @@ def apply_attention(p, s, x, *, num_heads: int, attn_ratio: float = 0.5, trainin
     key_dim = int(head_dim * attn_ratio)
     scale = key_dim ** -0.5
 
-    qkv, s1 = apply_conv(p["qkv"], s["qkv"] if s else None, x, act=False, training=training)
-    qkv = qkv.reshape(B, N, num_heads, key_dim * 2 + head_dim)
-    if _attn_use_pallas(qkv, s, training, impl):
+    qkv_raw, s1 = apply_conv(p["qkv"], s["qkv"] if s else None, x, act=False, training=training)
+    chosen = _attn_impl(qkv_raw, s, training, impl, N)
+    qkv = qkv_raw.reshape(B, N, num_heads, key_dim * 2 + head_dim)
+    if chosen == "fused":
+        from yolo_infer_tpu.ops.pallas.attention_fused import attention_qkv_fused_pallas
+
+        o = attention_qkv_fused_pallas(
+            qkv_raw.reshape(B, N, -1), num_heads, key_dim, head_dim
+        )  # (B, N, heads*head_dim), head-major — same channel order as the
+        # XLA path's (B, heads, N, hd) -> (B, N, heads, hd) unpack below
+        out = o.reshape(B, H, W, C)
+    elif chosen == "pallas":
         from yolo_infer_tpu.ops.pallas.attention_fused import attention_fused_pallas
 
         g = B * num_heads
