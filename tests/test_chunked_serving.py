@@ -1,0 +1,83 @@
+"""Batch-chunked serving: chunked programs must equal the whole-batch program.
+
+The serving pipeline optionally runs a batch as B/chunk sub-batches inside
+one jitted program (core/predictor.py _serve_chunk): at lane-starved batches
+XLA's early-conv layout choice wastes 4x lane reads, and chunk-16 subgraphs
+inherit the measured-fast b16 layouts (n/b32 e2e 14.1 -> 10.4 ms on v5e).
+Every per-image output is fixed-shape, so chunking must be EXACTLY
+output-equivalent — these tests gate that for both chunk modes and for every
+task head. Reference semantic: one predict call per batch
+(reference core/model.py:118-133); chunking is an internal layout tactic.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def _dets(predictor, imgs, conf=1e-6):
+    out = predictor.predict_raw(jnp.asarray(imgs), conf, 0.45, imgs.shape[1])
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
+@pytest.mark.parametrize("mode", ["scan", "unroll"])
+def test_chunked_equals_whole_detect(tiny_deploy, monkeypatch, mode):
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    params, spec = tiny_deploy
+    imgs = np.random.default_rng(0).integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+
+    monkeypatch.setenv("YOLO_TPU_SERVE_CHUNK", "0")
+    base = _dets(Predictor(params, spec, compute_dtype=jnp.float32), imgs)
+
+    monkeypatch.setenv("YOLO_TPU_SERVE_CHUNK", "2")
+    monkeypatch.setenv("YOLO_TPU_CHUNK_MODE", mode)
+    out = _dets(Predictor(params, spec, compute_dtype=jnp.float32), imgs)
+
+    assert set(base) == set(out)
+    for k in base:
+        np.testing.assert_array_equal(base[k], out[k], err_msg=k)
+
+
+@pytest.fixture(scope="module")
+def tiny_seg_deploy():
+    from yolo_infer_tpu.models import build_model, fold_model
+
+    params, state, spec = build_model(jax.random.PRNGKey(0), "segment", "n", nc=3)
+    return fold_model(params, state), spec
+
+
+def test_chunked_equals_whole_segment(tiny_seg_deploy, monkeypatch):
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    params, spec = tiny_seg_deploy
+    imgs = np.random.default_rng(1).integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+
+    monkeypatch.setenv("YOLO_TPU_SERVE_CHUNK", "0")
+    base = _dets(Predictor(params, spec, compute_dtype=jnp.float32), imgs)
+    monkeypatch.setenv("YOLO_TPU_SERVE_CHUNK", "2")
+    monkeypatch.setenv("YOLO_TPU_CHUNK_MODE", "scan")
+    out = _dets(Predictor(params, spec, compute_dtype=jnp.float32), imgs)
+    for k in base:
+        np.testing.assert_array_equal(base[k], out[k], err_msg=k)
+
+
+def test_chunk_policy_guards():
+    """Chunking never engages for meshed/quantized predictors or non-divisible
+    batches (the jit body falls through to the whole-batch program)."""
+    from yolo_infer_tpu.core.predictor import _serve_chunk
+
+    assert _serve_chunk(32, "n", "detect", True, False)[0] == 0  # meshed
+    assert _serve_chunk(32, "n", "detect", False, True)[0] == 0  # quantized
+    # non-detect heads unchunked (scan A/B measured them 1.3-1.8x slower)
+    for task in ("segment", "pose", "classify", "obb"):
+        assert _serve_chunk(32, "n", task, False, False)[0] == 0
+    # default policy: only lane-starved batches divisible by 16
+    for b, want_chunk in ((8, False), (16, False), (32, True), (48, True), (64, True), (96, True), (128, False)):
+        c, mode = _serve_chunk(b, "m", "detect", False, False)
+        engaged = bool(c) and b > c and b % c == 0
+        assert engaged == want_chunk, (b, c)
+        assert mode == "unroll"  # scan is the measured n-at-2-chunks exception
+    assert _serve_chunk(32, "n", "detect", False, False) == (16, "scan")
+    assert _serve_chunk(64, "n", "detect", False, False) == (16, "unroll")

@@ -31,6 +31,47 @@ from yolo_infer_tpu.ops.preprocess import preprocess_batch
 from yolo_infer_tpu.utils.coco_names import COCO_NAMES
 
 
+def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool) -> Tuple[int, str]:
+    """(sub-batch size, mode) for batch-chunked serving (0 = batch runs whole).
+
+    At lane-starved batches XLA's layout assignment for the tiny-channel
+    early convs flips to batch-in-lanes (pads batch -> 128 lanes) and inserts
+    multi-MB relayout copies, so n/b32 ran 14.1 ms while the SAME pipeline at
+    b16 ran 5.5 ms (hardware traces, models/early.py docstring). Running the
+    batch as b16-shaped subgraphs inside ONE program inherits the fast
+    layouts. v5e-1 @640 e2e A/B (2026-08-19, /tmp/ab_chunk*.log protocol):
+
+      n/b32  detect  14.11 -> 10.87 ms unroll / 10.40 scan   (+30-36%)
+      n/b64  detect  21.50 -> 20.20 unroll (scan 45.2 — loop bodies get
+             their own layout roulette past 2 iterations: NOT a default)
+      m/b32  detect  31.17 -> 29.81 unroll (scan 38.3 — scan only wins on n)
+      n/b128 detect  base 21.5 is already lane-filled; chunking is 4x slower
+      n/b32  seg/pose/cls: SCAN is 1.3-1.8x SLOWER than base (48.3/26.1/19.2
+             vs 38.3/17.4/10.8) — non-detect heads stay unchunked until an
+             unroll A/B proves them.
+
+    Policy: detect only; chunk 16 in the lane-starved regime (32 <= B < 128,
+    B % 16 == 0); "scan" only for the directly measured n-at-2-chunks case,
+    "unroll" otherwise. Env overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n>
+    (0 disables), YOLO_TPU_CHUNK_MODE=unroll|scan. Meshed serving keeps the
+    batch whole (chunking would fight the GSPMD data-axis sharding);
+    quantized trees keep their measured int8 eligibility tables keyed on the
+    full batch's activation rows (nn/quantize.py).
+    """
+    import os
+
+    env = os.environ.get("YOLO_TPU_SERVE_CHUNK", "")
+    mode_env = os.environ.get("YOLO_TPU_CHUNK_MODE", "")
+    if env:
+        return int(env), (mode_env or "unroll")
+    if meshed or quantized or task != "detect":
+        return 0, "unroll"
+    if 32 <= batch < 128 and batch % 16 == 0:
+        mode = "scan" if (size == "n" and batch == 32) else "unroll"
+        return 16, (mode_env or mode)
+    return 0, "unroll"
+
+
 @dataclass
 class Results:
     """Per-image detection results in original-image pixel coordinates."""
@@ -288,8 +329,7 @@ class Predictor:
         spec = self.spec
         compute_dtype = self.compute_dtype
 
-        @jax.jit
-        def run(params, images_u8, conf, iou):
+        def single(params, images_u8, conf, iou):
             # NB: tiling the RAW u8 frames here (convert fused per tile) was
             # tried and measured SLOWER than letting forward() tile the bf16
             # activations (12.6 vs 11.3 ms at n/b32): u8's (32,128) tiling
@@ -386,6 +426,33 @@ class Predictor:
                     dets["mask_coefs"] = coefs
                     dets["proto"] = out["proto"]
             return dets
+
+        @jax.jit
+        def run(params, images_u8, conf, iou):
+            b = int(images_u8.shape[0])
+            chunk, chunk_mode = _serve_chunk(b, spec.size, spec.task, self.mesh is not None, self.quant_act_scales is not None)
+            if chunk and b > chunk and b % chunk == 0:
+                # Batch-chunked serving: every per-image output (NMS dets,
+                # masks, keypoints) is fixed-shape, so running the whole
+                # pipeline on B/chunk sub-batches and concatenating along
+                # batch is EXACTLY equivalent — and at lane-starved batches
+                # (b32: XLA's batch-in-lanes early-conv layouts fill 32 of
+                # 128 lanes and insert multi-MB relayout copies; see
+                # models/early.py) the chunk-16 subgraphs get the measured
+                # b16 program's layouts instead (5.5 ms/16 imgs vs
+                # 14.1 ms/32 at n/640, /tmp A/B 2026-08-19).
+                n = b // chunk
+                if chunk_mode == "scan":
+                    from jax import lax as _lax
+
+                    stacked = _lax.map(
+                        lambda im: single(params, im, conf, iou),
+                        images_u8.reshape((n, chunk) + images_u8.shape[1:]),
+                    )
+                    return jax.tree_util.tree_map(lambda t: t.reshape((b,) + t.shape[2:]), stacked)
+                parts = [single(params, images_u8[i * chunk : (i + 1) * chunk], conf, iou) for i in range(n)]
+                return jax.tree_util.tree_map(lambda *ts: jnp.concatenate(ts, axis=0), *parts)
+            return single(params, images_u8, conf, iou)
 
         return run
 

@@ -169,10 +169,11 @@ class QATQuantizer(QuantizationOptimizer):
         from yolo_infer_tpu.core.trainer import TrainingConfig, YOLO11Trainer
 
         t0 = time.perf_counter()
+        kw = {"mosaic": 0.0, "name": "qat"}  # defaults the caller may override
+        kw.update(train_kw)
         cfg = TrainingConfig(
             data=str(data), epochs=self.epochs, lr0=self.lr, cos_lr=True,
-            save_period=checkpoint_period, resume=resume, qat=True, mosaic=0.0,
-            name="qat", **train_kw,
+            save_period=checkpoint_period, resume=resume, qat=True, **kw,
         )
         trainer = YOLO11Trainer(model=self.model, config=cfg)
         train_result = trainer.train()
