@@ -63,6 +63,27 @@ def test_chunked_equals_whole_segment(tiny_seg_deploy, monkeypatch):
         np.testing.assert_array_equal(base[k], out[k], err_msg=k)
 
 
+@pytest.mark.parametrize("task", ["obb", "classify"])
+def test_chunked_equals_whole_obb_classify(task, monkeypatch):
+    """obb/classify joined the default chunk policy (unroll) — gate exact
+    output equivalence for both, like detect/segment above."""
+    from yolo_infer_tpu.core.predictor import Predictor
+    from yolo_infer_tpu.models import build_model, fold_model
+
+    params, state, spec = build_model(jax.random.PRNGKey(2), task, "n", nc=3)
+    deploy = fold_model(params, state)
+    imgs = np.random.default_rng(2).integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+
+    monkeypatch.setenv("YOLO_TPU_SERVE_CHUNK", "0")
+    base = _dets(Predictor(deploy, spec, compute_dtype=jnp.float32), imgs)
+    monkeypatch.setenv("YOLO_TPU_SERVE_CHUNK", "2")
+    monkeypatch.setenv("YOLO_TPU_CHUNK_MODE", "unroll")
+    out = _dets(Predictor(deploy, spec, compute_dtype=jnp.float32), imgs)
+    assert set(base) == set(out)
+    for k in base:
+        np.testing.assert_array_equal(base[k], out[k], err_msg=k)
+
+
 def test_chunk_policy_guards():
     """Chunking never engages for meshed/quantized predictors or non-divisible
     batches (the jit body falls through to the whole-batch program)."""
@@ -70,9 +91,12 @@ def test_chunk_policy_guards():
 
     assert _serve_chunk(32, "n", "detect", True, False)[0] == 0  # meshed
     assert _serve_chunk(32, "n", "detect", False, True)[0] == 0  # quantized
-    # non-detect heads unchunked (scan A/B measured them 1.3-1.8x slower)
-    for task in ("segment", "pose", "classify", "obb"):
+    # pose/seg unchunked (scan A/B 1.3-1.8x slower; unroll A/B neutral/-6%)
+    for task in ("segment", "pose"):
         assert _serve_chunk(32, "n", task, False, False)[0] == 0
+    # obb/cls join with unroll (ab_chunk3 A/B: +3.7% / +4.4% at n/b32)
+    for task in ("obb", "classify"):
+        assert _serve_chunk(32, "n", task, False, False) == (16, "unroll")
     # default policy: only lane-starved batches divisible by 16
     for b, want_chunk in ((8, False), (16, False), (32, True), (48, True), (64, True), (96, True), (128, False)):
         c, mode = _serve_chunk(b, "m", "detect", False, False)

@@ -58,12 +58,16 @@ def test_early_tiled_exact(model, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("batch", [8, 32])  # t=4 and t=2 grids
-def test_early_tiled_helper_matches_chain(model, batch):
+@pytest.mark.parametrize("batch,t", [(8, 2), (8, 4), (16, 2)])  # default + t=4 grid
+def test_early_tiled_helper_matches_chain(model, batch, t, monkeypatch):
     """run_early_tiled == the plain layer-0..2 chain, bit-exact in bf16 too."""
     from yolo_infer_tpu.models.early import _nhwc_chain, run_early_tiled, tiles_per_side
 
-    assert tiles_per_side(batch) == (4 if batch == 8 else 2)
+    if t == 2:
+        assert tiles_per_side(batch) == 2  # production default (hardware sweep)
+    else:
+        monkeypatch.setenv("YOLO_TPU_TILE_T", str(t))
+        assert tiles_per_side(batch) == t
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.uniform(0, 1, (batch, 96, 96, 3)).astype(np.float32), jnp.bfloat16)
     ref = _nhwc_chain(model.deploy_params, model.spec, x, 2)
@@ -75,6 +79,11 @@ def test_early_tiled_ineligible_batches(model):
     assert not E.tiled_eligible(model.deploy_params, model.spec, 1, 640, 640)
     assert not E.tiled_eligible(model.deploy_params, model.spec, 128, 640, 640)
     assert not E.tiled_eligible(model.deploy_params, model.spec, 32, 20, 20)
+    # whole-batch tiling above b16 measured neutral (b32) to -10% (b64) — the
+    # win lives in the b16 chunked-serving subgraphs (models/early.py)
+    assert not E.tiled_eligible(model.deploy_params, model.spec, 32, 640, 640)
+    assert not E.tiled_eligible(model.deploy_params, model.spec, 64, 640, 640)
+    assert E.tiled_eligible(model.deploy_params, model.spec, 16, 640, 640)
 
 
 def test_early_tiled_predictor_u8_path(model, monkeypatch):

@@ -189,12 +189,15 @@ def test_validator_passes_pre_topk(monkeypatch):
     assert seen["pre_topk"] == 4096
 
 
-def test_val_cap_insensitive_in_dense_regime():
+def test_val_cap_insensitive_in_dense_regime(monkeypatch):
     """VERDICT r2 #9: re-verify the validator's pre_topk=4096 cap in the REAL
     val regime — conf=0.001, multi_label, 640 px, a candidate pool dense
     enough to saturate max_det (672k (anchor, class) pairs, 300/300 dets).
     GT is planted from the largest-cap run, so any candidate the smaller cap
-    drops would show up as a mAP drop. Measured: identical mAP down to 1024."""
+    drops would show up as a mAP drop. Measured: identical mAP down to 1024.
+    Also gates the per-anchor top-C class cap (multi_label_topc=8, the 672k
+    flat-sort reduction): mAP must match the uncapped pool in the SAME dense
+    regime."""
     import cv2
 
     from yolo_infer_tpu.core.metrics import DetMetrics
@@ -233,3 +236,54 @@ def test_val_cap_insensitive_in_dense_regime():
         maps[cap] = dm.compute()["map"]
     assert abs(maps[4096] - maps[8192]) < 0.005, maps
     assert abs(maps[2048] - maps[8192]) < 0.01, maps
+
+    # per-anchor top-C reduction off (C >= nc): mAP must match the default C=8
+    monkeypatch.setenv("YOLO_MULTI_LABEL_TOPC", "1000")
+    m.invalidate()
+    d = m.predictor.predict_raw(batch, 0.001, 0.6, 640, multi_label=True, pre_topk=4096)
+    d = {k: np.asarray(v) for k, v in d.items()}
+    dm = DetMetrics(nc=80)
+    for i in range(2):
+        k = int(d["num"][i])
+        dm.update(d["boxes"][i, :k], d["scores"][i, :k], d["classes"][i, :k].astype(np.int32), gts[i][0], gts[i][1])
+    assert abs(dm.compute()["map"] - maps[4096]) < 0.005
+
+
+def test_multi_label_topc_exact_when_within_cap():
+    """The per-anchor top-C class cap (the val program's 672k-sort reduction)
+    is EXACTLY the full flat sort whenever no anchor has more than C classes
+    above conf — here every anchor has at most 5."""
+    rng = np.random.default_rng(13)
+    n, nc = 120, 40
+    boxes = _random_boxes(rng, n)
+    scores = rng.uniform(0, 1e-4, (n, nc)).astype(np.float32)
+    for i in range(n):
+        hot = rng.choice(nc, size=int(rng.integers(0, 6)), replace=False)
+        scores[i, hot] = rng.uniform(0.05, 1.0, hot.shape)
+    args = (jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.01, 0.5)
+    kw = dict(pre_topk=512, max_det=200, multi_label=True)
+    full = batched_nms(*args, **kw, multi_label_topc=nc)   # reduction disabled
+    capped = batched_nms(*args, **kw, multi_label_topc=8)  # val default
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(capped[k]), err_msg=k)
+
+
+def test_rotated_multi_label_topc_exact_when_within_cap():
+    from yolo_infer_tpu.ops.rotated import batched_rotated_nms
+
+    rng = np.random.default_rng(17)
+    n, nc = 80, 15
+    cxy = rng.uniform(60, 580, (n, 2))
+    wh = rng.uniform(12, 90, (n, 2))
+    ang = rng.uniform(-np.pi / 2, np.pi / 2, (n, 1))
+    rboxes = np.concatenate([cxy, wh, ang], -1).astype(np.float32)
+    scores = rng.uniform(0, 1e-4, (n, nc)).astype(np.float32)
+    for i in range(n):
+        hot = rng.choice(nc, size=int(rng.integers(0, 4)), replace=False)
+        scores[i, hot] = rng.uniform(0.05, 1.0, hot.shape)
+    args = (jnp.asarray(rboxes[None]), jnp.asarray(scores[None]), 0.01, 0.5)
+    kw = dict(pre_topk=256, max_det=100, multi_label=True)
+    full = batched_rotated_nms(*args, **kw, multi_label_topc=nc)
+    capped = batched_rotated_nms(*args, **kw, multi_label_topc=6)
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(capped[k]), err_msg=k)

@@ -26,7 +26,7 @@ from yolo_infer_tpu.models.spec import ModelSpec
 from yolo_infer_tpu.models.yolo11 import forward
 from yolo_infer_tpu.ops.decode import decode_detections, decode_keypoints, make_anchors
 from yolo_infer_tpu.ops.letterbox import letterbox_params, scale_boxes
-from yolo_infer_tpu.ops.nms import batched_nms
+from yolo_infer_tpu.ops.nms import _multi_label_topc, batched_nms
 from yolo_infer_tpu.ops.preprocess import preprocess_batch
 from yolo_infer_tpu.utils.coco_names import COCO_NAMES
 
@@ -41,22 +41,29 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     batch as b16-shaped subgraphs inside ONE program inherits the fast
     layouts. v5e-1 @640 e2e A/B (2026-08-19, /tmp/ab_chunk*.log protocol):
 
-      n/b32  detect  14.11 -> 10.87 ms unroll / 10.40 scan   (+30-36%)
+      n/b32  detect  14.11 -> 10.87 ms unroll / 10.40 scan   (+30-36%);
+             9.74 ms with the t=2 tiled early stage stacked inside the b16
+             subgraphs (models/early.py) — the bench.py headline (3284.8
+             img/s, vs_baseline 1.408)
       n/b64  detect  21.50 -> 20.20 unroll (scan 45.2 — loop bodies get
              their own layout roulette past 2 iterations: NOT a default)
       m/b32  detect  31.17 -> 29.81 unroll (scan 38.3 — scan only wins on n)
       n/b128 detect  base 21.5 is already lane-filled; chunking is 4x slower
       n/b32  seg/pose/cls: SCAN is 1.3-1.8x SLOWER than base (48.3/26.1/19.2
-             vs 38.3/17.4/10.8) — non-detect heads stay unchunked until an
-             unroll A/B proves them.
+             vs 38.3/17.4/10.8) — scan re-rolls the loop body's layouts.
+      n/b32  UNROLL A/B on the non-detect heads (ab_chunk3): obb 15.92 ->
+             15.35 (+3.7%), cls 10.93 -> 10.47 (+4.4%), pose 17.15 -> 17.18
+             (neutral), seg 38.25 -> 40.66 (-6%): obb/cls join the policy
+             (unroll only), pose/seg stay whole.
 
-    Policy: detect only; chunk 16 in the lane-starved regime (32 <= B < 128,
-    B % 16 == 0); "scan" only for the directly measured n-at-2-chunks case,
-    "unroll" otherwise. Env overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n>
-    (0 disables), YOLO_TPU_CHUNK_MODE=unroll|scan. Meshed serving keeps the
-    batch whole (chunking would fight the GSPMD data-axis sharding);
-    quantized trees keep their measured int8 eligibility tables keyed on the
-    full batch's activation rows (nn/quantize.py).
+    Policy: detect/obb/classify; chunk 16 in the lane-starved regime
+    (32 <= B < 128, B % 16 == 0); "scan" only for the directly measured
+    n-detect-at-2-chunks case, "unroll" otherwise. Env overrides for sweeps:
+    YOLO_TPU_SERVE_CHUNK=<n> (0 disables), YOLO_TPU_CHUNK_MODE=unroll|scan.
+    Meshed serving keeps the batch whole (chunking would fight the GSPMD
+    data-axis sharding); quantized trees keep their measured int8
+    eligibility tables keyed on the full batch's activation rows
+    (nn/quantize.py).
     """
     import os
 
@@ -64,10 +71,10 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     mode_env = os.environ.get("YOLO_TPU_CHUNK_MODE", "")
     if env:
         return int(env), (mode_env or "unroll")
-    if meshed or quantized or task != "detect":
+    if meshed or quantized or task not in ("detect", "obb", "classify"):
         return 0, "unroll"
     if 32 <= batch < 128 and batch % 16 == 0:
-        mode = "scan" if (size == "n" and batch == 32) else "unroll"
+        mode = "scan" if (size == "n" and batch == 32 and task == "detect") else "unroll"
         return 16, (mode_env or mode)
     return 0, "unroll"
 
@@ -356,13 +363,17 @@ class Predictor:
                     impl="xla" if self.mesh is not None else "auto",
                     # ultralytics runs OBB val with multi_label=True — honor
                     # the request instead of silently dropping to single-label
-                    multi_label=multi_label,
+                    multi_label=multi_label, multi_label_topc=_multi_label_topc(),
                 )
             if multi_label:
                 boxes, scores = decode_detections(out["feats"], spec.nc, spec.reg_max, spec.strides)
                 dets = batched_nms(
                     boxes, scores, conf, iou,
                     pre_topk=pre_topk, max_det=max_det, multi_label=True,
+                    # per-anchor class cap before the 672k flat sort (the val
+                    # program's dominant op) — host-read env so the value is
+                    # baked per program, never stale-cached across env flips
+                    multi_label_topc=_multi_label_topc(),
                 )
             else:
                 # speed path: per-level class reduction (no (B,A,nc) tensor),

@@ -105,19 +105,26 @@ def _nhwc_chain(params: Params, spec, x: jnp.ndarray, upto: int):
 
 
 def tiles_per_side(batch: int) -> int:
-    """2x2 once 4*B fills the 128 lanes; 4x4 for smaller batches (the extra
-    halo overhead beats 2x-underfilled lanes). Overridable for A/B sweeps."""
+    """2x2 always: the hardware sweep (/tmp/ab_head protocol, v5e 2026-08-19)
+    measured t=2 fastest at every eligible batch — b16 5.57 ms vs 7.45 at
+    t=4, b8 4.52 vs 4.65 — i.e. half-filled lanes with small halos beat
+    filled lanes with 4x the halo recompute. Overridable for A/B sweeps."""
     env = os.environ.get("YOLO_TPU_TILE_T", "")
     if env:
         return int(env)
-    return 2 if batch * 4 >= 128 else 4
+    return 2
 
 
 def tiled_eligible(params: Params, spec, batch: int, h: int, w: int) -> bool:
     """Tiling applies to straight-chain fused float early stages on
-    stride-aligned inputs, in the lane-starved batch regime (B < 128; at
-    B >= 128 the native emitter already fills lanes)."""
-    if not (8 <= batch < 128):
+    stride-aligned inputs, in the deeply lane-starved batch regime
+    (8 <= B <= 16 — where the batch-chunked serving policy lands its
+    subgraphs). Measured at every other batch it is neutral or a loss:
+    b32 whole 14.15 tiled vs 14.11 off, b64 whole 23.9 vs 21.65
+    (/tmp/ab_head protocol, v5e 2026-08-19) — the native emitter's
+    batch-in-lanes padding stops hurting once B fills more of the 128
+    lanes, while the halo recompute stays."""
+    if not (8 <= batch <= 16):
         return False
     t = tiles_per_side(batch)
     halo = early_halo(spec)
@@ -200,7 +207,11 @@ def run_early_tiled(
     lanes exactly; a halo >= the layer-0..2 receptive field makes the
     interior outputs bit-identical, and only interiors are stitched back.
     Compute overhead = (1 + t*2*halo/H)^2 - 1 (~7.7% at 640, t=2, halo 12).
-    Measured e2e at n/b32: 14.0 -> 11.3 ms (tools A/B, 2026-08-19).
+    Production win lives INSIDE the b16 chunked-serving subgraphs
+    (core/predictor.py _serve_chunk): b16 early stage 7.45 -> 5.57 ms at
+    t=2, taking the stacked n/b32 headline 10.40 -> 9.74 ms (/tmp/ab_head
+    sweep + headline bench, v5e 2026-08-19). Whole-batch b32/b64 tiling
+    measured neutral-to-worse — see tiled_eligible.
     """
     b, h, w, _ = x.shape
     tiles = build_tiles(x, spec, tiles_per_side(b))

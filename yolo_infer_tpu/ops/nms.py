@@ -58,15 +58,37 @@ def _single_nms(
     max_det: int,
     class_aware: bool,
     multi_label: bool,
+    multi_label_topc: int = 8,
 ) -> Dict[str, jnp.ndarray]:
     a, nc = scores.shape
     if multi_label and nc > 1:
-        flat = scores.reshape(-1)  # (A*nc,)
-        cand = jnp.where(flat > conf_thres, flat, -1.0)
-        k = min(pre_topk, a * nc)
-        top_scores, top_idx = _exact_topk(cand, k)  # A*nc=672k at nc=80: the sort dominates val
-        anchor_idx = top_idx // nc
-        cls = (top_idx % nc).astype(jnp.float32)
+        # Per-anchor class cap before the flat sort: the raw (A*nc,) pool is
+        # 672k at nc=80 and its exact top-k costs 15.7 ms/b16-batch in
+        # isolation — the val program's dominant op. Keeping each anchor's
+        # top-C classes first shrinks the big sort 10x (the _topc_per_anchor
+        # reduction itself is sort-free: 2.0 ms vs 15.7, 7.8x,
+        # tools/bench_topc_impls.py 2026-08-19).
+        # Semantics: drops an (anchor, class) pair only when ONE anchor has
+        # more than C classes inside the global top-pre_topk — the same
+        # fixed-cap trade the verified pre_topk cap already makes (mAP
+        # identical across caps and across C, tests/test_nms.py dense-regime
+        # tests). C >= nc disables the reduction.
+        c = multi_label_topc
+        if c < nc:
+            cls_scores, cls_idx = _topc_per_anchor(scores, c)  # (A, c)
+            flat = cls_scores.reshape(-1)  # (A*c,)
+            cand = jnp.where(flat > conf_thres, flat, -1.0)
+            k = min(pre_topk, a * c)
+            top_scores, top_idx = _exact_topk(cand, k)
+            anchor_idx = top_idx // c
+            cls = cls_idx.reshape(-1)[top_idx].astype(jnp.float32)
+        else:
+            flat = scores.reshape(-1)  # (A*nc,)
+            cand = jnp.where(flat > conf_thres, flat, -1.0)
+            k = min(pre_topk, a * nc)
+            top_scores, top_idx = _exact_topk(cand, k)
+            anchor_idx = top_idx // nc
+            cls = (top_idx % nc).astype(jnp.float32)
         cboxes = boxes[anchor_idx]
         cand_anchor = anchor_idx
     else:
@@ -104,7 +126,7 @@ def _single_nms(
     }
 
 
-@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware", "multi_label"))
+@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware", "multi_label", "multi_label_topc"))
 def batched_nms(
     boxes: jnp.ndarray,  # (B, A, 4) xyxy, letterboxed pixels
     scores: jnp.ndarray,  # (B, A, nc) sigmoided
@@ -115,6 +137,7 @@ def batched_nms(
     max_det: int = 300,
     class_aware: bool = True,
     multi_label: bool = False,
+    multi_label_topc: int = 8,
 ) -> Dict[str, jnp.ndarray]:
     """Class-aware greedy NMS over a batch. All outputs have static shapes:
 
@@ -132,6 +155,7 @@ def batched_nms(
         max_det=max_det,
         class_aware=class_aware,
         multi_label=multi_label,
+        multi_label_topc=multi_label_topc,
     )
     return jax.vmap(lambda b, s: fn(b, s, conf_thres, iou_thres))(
         boxes.astype(jnp.float32), scores.astype(jnp.float32)
@@ -145,6 +169,41 @@ def _on_tpu() -> bool:
         return "tpu" in dev.platform.lower() or "tpu" in getattr(dev, "device_kind", "").lower()
     except Exception:  # pragma: no cover - no backend at all
         return False
+
+
+def _multi_label_topc() -> int:
+    """Per-anchor class cap for multi-label NMS (val protocol).
+
+    8 keeps every (anchor, class) pair unless a single anchor carries more
+    than 8 classes inside the global top-pre_topk pool — unobserved on the
+    randomized dense scenes of the cap-insensitivity tests. Env override
+    `YOLO_MULTI_LABEL_TOPC` (set >= nc, e.g. 1000, to disable)."""
+    import os
+
+    return int(os.environ.get("YOLO_MULTI_LABEL_TOPC", "8"))
+
+
+def _topc_per_anchor(scores: jnp.ndarray, c: int) -> tuple:
+    """Top-C (values, indices) along the last axis WITHOUT a sort.
+
+    C rounds of max/argmax + one-hot masking — pure VPU passes over the
+    (..., nc) block. XLA lowers rowwise ``lax.top_k`` to a full variadic
+    sort of the same (value, index) pairs, which costs ~1.5x this; the flat
+    exact top-k over A*nc that this reduction feeds-and-shrinks costs ~8x
+    (isolated at (16, 8400, 80)->C=8 pre_topk=4096: itermax 2.0 ms, rowwise
+    top_k 3.1, flat 15.7 — tools/bench_topc_impls.py, v5e 2026-08-19).
+    Values descend along the C axis; ties resolve to the lowest class index
+    (argmax semantics), matching ``lax.top_k``.
+    """
+    cols = lax.broadcasted_iota(jnp.int32, scores.shape[-1:], 0)  # (nc,)
+    vals, idxs = [], []
+    cur = scores
+    for _ in range(c):
+        i = jnp.argmax(cur, axis=-1)
+        vals.append(jnp.max(cur, axis=-1))
+        idxs.append(i)
+        cur = jnp.where(cols == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
 def _exact_topk(cand: jnp.ndarray, k: int, impl: str = "auto") -> tuple:

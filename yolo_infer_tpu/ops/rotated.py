@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from yolo_infer_tpu.ops.nms import _exact_topk, _nms_fixpoint, _on_tpu, MAX_WH
+from yolo_infer_tpu.ops.nms import _exact_topk, _nms_fixpoint, _on_tpu, _topc_per_anchor, MAX_WH
 
 
 def dist2rbox(dist: jnp.ndarray, angle: jnp.ndarray, anchor_points: jnp.ndarray) -> jnp.ndarray:
@@ -121,7 +121,7 @@ def rotated_nms_keep_mask(sup: jnp.ndarray, valid: jnp.ndarray, iou_thres: jnp.n
     return jax.vmap(one)(sup, valid)
 
 
-@partial(jax.jit, static_argnames=("pre_topk", "max_det", "impl", "multi_label"))
+@partial(jax.jit, static_argnames=("pre_topk", "max_det", "impl", "multi_label", "multi_label_topc"))
 def batched_rotated_nms(
     rboxes: jnp.ndarray,  # (B, A, 5) xywhr, letterboxed pixels
     scores: jnp.ndarray,  # (B, A, nc)
@@ -132,6 +132,7 @@ def batched_rotated_nms(
     max_det: int = 300,
     impl: str = "auto",  # "xla" forces sort+fixpoint (meshed serving)
     multi_label: bool = False,
+    multi_label_topc: int = 8,
 ) -> Dict[str, jnp.ndarray]:
     """Rotated NMS, batched end to end (no vmap): exact ApproxTopK candidate
     selection and the fused Pallas probIoU keep kernel on TPU (see
@@ -144,11 +145,22 @@ def batched_rotated_nms(
     scores = scores.astype(jnp.float32)
     b, a, nc = scores.shape
     if multi_label:
-        cand = jnp.where(scores > conf_thres, scores, -1.0).reshape(b, a * nc)
-        k = min(pre_topk, a * nc)
-        top_scores, top_pair = _exact_topk(cand, k, impl)
-        top_idx = top_pair // nc
-        cls = (top_pair % nc).astype(jnp.float32)
+        c = multi_label_topc
+        if c < nc:
+            # per-anchor top-C class cap before the flat sort — see
+            # ops/nms.py _single_nms for the rationale and exactness trade
+            cls_scores, cls_idx = _topc_per_anchor(scores, c)  # (B, A, c)
+            cand = jnp.where(cls_scores > conf_thres, cls_scores, -1.0).reshape(b, a * c)
+            k = min(pre_topk, a * c)
+            top_scores, top_pair = _exact_topk(cand, k, impl)
+            top_idx = top_pair // c
+            cls = jnp.take_along_axis(cls_idx.reshape(b, a * c), top_pair, axis=1).astype(jnp.float32)
+        else:
+            cand = jnp.where(scores > conf_thres, scores, -1.0).reshape(b, a * nc)
+            k = min(pre_topk, a * nc)
+            top_scores, top_pair = _exact_topk(cand, k, impl)
+            top_idx = top_pair // nc
+            cls = (top_pair % nc).astype(jnp.float32)
     else:
         best = jnp.max(scores, axis=-1)
         cls_best = jnp.argmax(scores, axis=-1).astype(jnp.float32)
