@@ -181,6 +181,34 @@ def test_lazy_masks_prefetch_one_transfer(tiny_seg_predictors):
             np.testing.assert_array_equal(np.asarray(r1.masks), np.asarray(r2.masks))
 
 
+def test_lazy_masks_prefetch_sparse_and_dtype(tiny_seg_predictors):
+    """prefetch's contiguous-slice fast path must fall back to per-image
+    reads when the pending images are sparse in their bounding index range
+    (an advanced-index gather is ~30x slower on TPU than the basic slice —
+    tools/bench_mask_read_split.py), and the uint8 fast path must return the
+    same {0,1} masks without the f32 widening."""
+    from yolo_infer_tpu.core.predictor import LazyMasks
+
+    p_dev, _, _ = tiny_seg_predictors
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(5)]
+    ra = p_dev.predict(imgs, conf=0.001, imgsz=64)
+    rb = p_dev.predict(imgs, conf=0.001, imgsz=64)
+    # keep only images 0 and 4: 2 pending over a bounding range of 5 -> sparse
+    sparse = [ra[0], ra[4]]
+    LazyMasks.prefetch(sparse)
+    for r1, r2 in ((ra[0], rb[0]), (ra[4], rb[4])):
+        if isinstance(r2.masks, LazyMasks):
+            assert r1.masks._np is not None
+            np.testing.assert_array_equal(np.asarray(r1.masks), np.asarray(r2.masks))
+    # uint8 read: same values, no f32 cast
+    m2 = rb[1].masks
+    if isinstance(m2, LazyMasks):
+        u8 = m2.numpy(dtype=np.uint8)
+        assert u8.dtype == np.uint8 and set(np.unique(u8)) <= {0, 1}
+        np.testing.assert_array_equal(u8, np.asarray(ra[1].masks).astype(np.uint8))
+
+
 def test_predictor_bits_mode_binary(tiny_seg_predictors):
     """mask_out='bits' via predict_raw yields the packed val artifact."""
     import jax.numpy as jnp

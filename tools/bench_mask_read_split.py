@@ -71,9 +71,14 @@ def main():
     sizes = [64, 65536, 524288, 1572864, 6291456]  # bytes
     curve = []
     for nbytes in sizes:
-        dev = ident(jnp.zeros((nbytes,), jnp.uint8))
-        np.asarray(dev[:1])  # materialize
-        t = median_time(lambda d=dev: np.asarray(d), reps, warmup=2)
+        # fetch a FRESH same-shape slice each rep: jax caches the host copy
+        # of an already-fetched array (np.asarray of the same object is free
+        # the second time), and the LazyMasks read path is exactly a sliced
+        # fetch (dispatch the slice op + pull the result)
+        dev = ident(jnp.zeros((nbytes + reps + 2,), jnp.uint8))
+        np.asarray(dev[:1])  # materialize the buffer itself
+        it = iter(range(1000))
+        t = median_time(lambda d=dev: np.asarray(d[(i := next(it) % 4):i + nbytes]), reps, warmup=2)
         curve.append({"bytes": nbytes, "ms": round(t * 1e3, 2)})
     # least-squares t = rtt + bytes/bw over the curve
     xs = np.array([c["bytes"] for c in curve], np.float64)
@@ -131,10 +136,16 @@ def main():
             reset()
             LazyMasks.prefetch(lms)
 
+        def prefetch_u8():
+            reset()
+            LazyMasks.prefetch(lms, dtype=np.uint8)
+
         t_loop = median_time(loop_read, max(3, reps // 2), warmup=1)
         t_pre = median_time(prefetch_read, max(3, reps // 2), warmup=1)
+        t_pre8 = median_time(prefetch_u8, max(3, reps // 2), warmup=1)
         out[f"batch{b}_{tag}_loop_ms_per_image"] = round(t_loop / b * 1e3, 1)
         out[f"batch{b}_{tag}_prefetch_ms_per_image"] = round(t_pre / b * 1e3, 1)
+        out[f"batch{b}_{tag}_prefetch_u8_ms_per_image"] = round(t_pre8 / b * 1e3, 1)
         emit()
 
     # -- 3. floor accounting --------------------------------------------------

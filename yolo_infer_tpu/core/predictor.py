@@ -132,39 +132,51 @@ class LazyMasks:
         cw = min(cw, self._imgsz - x0)
         return y0, x0, ch, cw, x0 // 8, -(-(x0 + cw) // 8)
 
-    def _finish(self, packed: np.ndarray, xoff: int, cw: int) -> None:
+    def _finish(self, packed: np.ndarray, xoff: int, cw: int, dtype=np.float32) -> None:
         """Unpack a fetched (n, ch, bytes) slice and finalize the crop."""
         from yolo_infer_tpu.ops.masks import unpack_mask_bits
 
         m = unpack_mask_bits(packed)
-        self._np = np.ascontiguousarray(m[:, :, xoff: xoff + cw].astype(np.float32))
+        self._np = np.ascontiguousarray(m[:, :, xoff: xoff + cw].astype(dtype, copy=False))
         self._dev = None  # release this image's hold on the device buffer
 
-    def numpy(self) -> np.ndarray:
+    def numpy(self, dtype=np.float32) -> np.ndarray:
         """Transfer the content band of the n real rows + unpack bits.
 
         Only the letterbox CONTENT region crosses the wire: rows outside
         [y0, y0+ch) and byte-columns outside the padded width window are
         sliced off on device before the fetch (the crop bounds are
         host-known — VERDICT r3 #2; a 480p image in a 640 grid skips ~44%
-        of the bytes). Bit-unpack is one vectorized np.unpackbits."""
+        of the bytes). Bit-unpack is one vectorized np.unpackbits.
+
+        ``dtype=np.uint8`` skips the float32 cast (these are {0,1} binary
+        masks; a 30-mask 640-grid read spends ~25 ms of host time widening
+        12 MB of uint8 to 48 MB of f32 — drawing/contour consumers don't
+        need it). The first read's dtype is cached for later accesses."""
         if self._np is None:
             y0, x0, ch, cw, xb0, xb1 = self._crop_window()
             packed = np.asarray(self._dev[self._index, : self._n, y0: y0 + ch, xb0:xb1])
-            self._finish(packed, x0 - xb0 * 8, cw)
+            self._finish(packed, x0 - xb0 * 8, cw, dtype)
         return self._np
 
     @staticmethod
-    def prefetch(items) -> None:
+    def prefetch(items, dtype=np.float32) -> None:
         """Materialize many LazyMasks with ONE device transfer per shared
         batch buffer.
 
         Through a remote-TPU tunnel every fetch pays a full round-trip;
-        reading a 32-image batch mask-by-mask pays it 32 times. This gathers
-        all pending images of each batch buffer in a single sliced transfer
-        (union content band, max row count) and distributes the bytes on
-        host. `items` may be Results objects (``.masks`` read) or LazyMasks.
-        Already-materialized / non-lazy entries are skipped.
+        reading a 32-image batch mask-by-mask pays it 32 times. This slices
+        all pending images of each batch buffer in a single CONTIGUOUS
+        transfer (bounding image range, union content band, max row count)
+        and distributes the bytes on host. Contiguity matters: an
+        advanced-index ``dev[idx, ...]`` lowers to a TPU gather, which runs
+        ~30x slower than the basic slice on this buffer (scalar-gather trap,
+        measured in tools/bench_mask_read_split.py) — so when the pending
+        images cover less than half of their bounding range, the wasted
+        slice bytes would beat the gather anyway and we fall back to
+        per-image reads instead. `items` may be Results objects (``.masks``
+        read) or LazyMasks. Already-materialized / non-lazy entries are
+        skipped.
         """
         pending: List[LazyMasks] = []
         for it in items:
@@ -176,17 +188,22 @@ class LazyMasks:
             groups.setdefault(id(m._dev), []).append(m)
         for ms in groups.values():
             dev = ms[0]._dev
+            ms.sort(key=lambda m: m._index)
+            i0, i1 = ms[0]._index, ms[-1]._index + 1
+            if len(ms) * 2 <= i1 - i0:
+                for m in ms:  # sparse: bounding-range slice wastes >2x bytes
+                    m.numpy(dtype)
+                continue
             wins = [m._crop_window() for m in ms]
             max_n = max(max(m._n for m in ms), 1)
             gy0 = min(w[0] for w in wins)
             gy1 = max(w[0] + w[2] for w in wins)
             gxb0 = min(w[4] for w in wins)
             gxb1 = max(w[5] for w in wins)
-            idx = np.array([m._index for m in ms])
-            block = np.asarray(dev[idx, :max_n, gy0:gy1, gxb0:gxb1])  # one fetch
-            for i, (m, (y0, x0, ch, cw, xb0, xb1)) in enumerate(zip(ms, wins)):
-                sub = block[i, : m._n, y0 - gy0: y0 - gy0 + ch, xb0 - gxb0: xb1 - gxb0]
-                m._finish(sub, x0 - xb0 * 8, cw)
+            block = np.asarray(dev[i0:i1, :max_n, gy0:gy1, gxb0:gxb1])  # one fetch
+            for m, (y0, x0, ch, cw, xb0, xb1) in zip(ms, wins):
+                sub = block[m._index - i0, : m._n, y0 - gy0: y0 - gy0 + ch, xb0 - gxb0: xb1 - gxb0]
+                m._finish(sub, x0 - xb0 * 8, cw, dtype)
 
     # ---- cheap (non-materializing) introspection ----
     @property
