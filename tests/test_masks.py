@@ -95,6 +95,117 @@ def test_upsampled_bits_match_host_path(seed):
         assert mismatch < 1e-3, f"image {i}: mismatch fraction {mismatch}"
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_upsampled_bits_half_grid_matches_oracle(seed):
+    """assemble_mask_bits_up(out_size=imgsz//2) == bilinear-resize the soft
+    cropped masks to the half grid, threshold at 0.5 (stable cells)."""
+    import jax
+
+    from yolo_infer_tpu.ops.masks import assemble_mask_bits_up
+
+    rng = np.random.default_rng(seed)
+    b, d, hm, wm, nm, imgsz = 2, 8, 16, 16, 8, 64
+    half = imgsz // 2
+    proto = rng.normal(0, 1, (b, hm, wm, nm)).astype(np.float32)
+    coefs = rng.normal(0, 0.5, (b, d, nm)).astype(np.float32)
+    xy = rng.uniform(0, imgsz * 0.6, (b, d, 2))
+    wh = rng.uniform(4, imgsz * 0.5, (b, d, 2))
+    boxes = np.concatenate([xy, np.minimum(xy + wh, imgsz)], axis=-1).astype(np.float32)
+
+    packed = np.asarray(
+        assemble_mask_bits_up(jnp.asarray(proto), jnp.asarray(coefs), jnp.asarray(boxes), imgsz, out_size=half)
+    )
+    assert packed.shape == (b, d, half, half // 8) and packed.dtype == np.uint8
+    got = unpack_mask_bits(packed)
+
+    for i in range(b):
+        soft = _assemble_masks(proto[i], coefs[i], boxes[i], imgsz)  # proto res
+        want_soft = np.asarray(jax.image.resize(jnp.asarray(soft), (d, half, half), method="bilinear"))
+        stable = np.abs(want_soft - 0.5) > 1e-3
+        mismatch = ((got[i] != (want_soft > 0.5)) & stable).mean()
+        assert mismatch < 1e-3, f"image {i}: mismatch fraction {mismatch}"
+
+
+def test_predictor_device_half_mode(tiny_seg_predictors):
+    """mask_mode='device_half': Results.masks has the SAME shape as the
+    full-res device mode (the host 2x-nearest + trim restores full-res
+    geometry), values stay binary, and the LazyMasks trim math reproduces a
+    manual unpack/repeat/crop of the raw half-grid buffer exactly. Boundary
+    error vs the full-res mode is bounded (<=1 px band around each mask
+    edge)."""
+    from yolo_infer_tpu.core.predictor import LazyMasks, Predictor
+    from yolo_infer_tpu.ops.letterbox import crop_letterbox_slices, letterbox_params
+    from yolo_infer_tpu.ops.masks import unpack_mask_bits
+
+    p_dev, _, _ = tiny_seg_predictors
+    p_half = Predictor(p_dev.params, p_dev.spec, compute_dtype=jnp.float32, mask_mode="device_half")
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)  # non-square: real letterbox band
+    r_dev = p_dev.predict(img, conf=0.001, imgsz=64)[0]
+    r_half = p_half.predict(img, conf=0.001, imgsz=64)[0]
+    assert len(r_half) == len(r_dev)
+    if not len(r_dev) or r_dev.masks is None:
+        pytest.skip("no detections from the random-init net")
+    assert isinstance(r_half.masks, LazyMasks) and r_half.masks._scale == 2
+    assert r_half.masks.shape == r_dev.masks.shape  # cheap introspection, full-res
+    half = np.asarray(r_half.masks)
+    full = np.asarray(r_dev.masks)
+    assert half.shape == full.shape and set(np.unique(half)) <= {0.0, 1.0}
+
+    # exact contract: the lazy read == manual unpack + 2x nearest + trim
+    raw = np.asarray(
+        p_half.predict_raw(jnp.asarray(img[None]), 0.001, 0.45, 64, mask_out="device_half")["mask_bits_up"]
+    )
+    assert raw.shape[2] == 32  # half grid
+    n = half.shape[0]
+    man = unpack_mask_bits(raw[0, :n]).repeat(2, axis=1).repeat(2, axis=2)
+    ratio, pad, _ = letterbox_params(img.shape[:2], 64)
+    y0, x0, ch, cw = crop_letterbox_slices(ratio, pad, img.shape[:2], downsample=1)
+    np.testing.assert_array_equal(half, man[:, y0: y0 + ch, x0: x0 + cw].astype(np.float32))
+
+    # approximation quality: disagreements only within 1 full-res pixel of a
+    # full-res mask boundary (nearest-2x can only miss sub-cell crossings)
+    diff = half != full
+    if diff.any():
+        edge = np.zeros_like(full, bool)
+        e = full.astype(bool)
+        edge[:, 1:, :] |= e[:, 1:, :] != e[:, :-1, :]
+        edge[:, :-1, :] |= e[:, 1:, :] != e[:, :-1, :]
+        edge[:, :, 1:] |= e[:, :, 1:] != e[:, :, :-1]
+        edge[:, :, :-1] |= e[:, :, 1:] != e[:, :, :-1]
+        # dilate the edge band by 1
+        band = edge.copy()
+        band[:, 1:, :] |= edge[:, :-1, :]
+        band[:, :-1, :] |= edge[:, 1:, :]
+        band[:, :, 1:] |= edge[:, :, :-1]
+        band[:, :, :-1] |= edge[:, :, 1:]
+        off_band = (diff & ~band).mean()
+        assert off_band < 5e-3, f"half-grid masks differ away from boundaries: {off_band}"
+
+
+def test_lazy_masks_prefetch_half_grid(tiny_seg_predictors):
+    """prefetch must honor the half-grid fetch windows (grid-space union,
+    per-image full-res trim) and match the per-image read exactly."""
+    from yolo_infer_tpu.core.predictor import LazyMasks, Predictor
+
+    p_dev, _, _ = tiny_seg_predictors
+    p_half = Predictor(p_dev.params, p_dev.spec, compute_dtype=jnp.float32, mask_mode="device_half")
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 255, (48, 64, 3), dtype=np.uint8),
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+            rng.integers(0, 255, (64, 40, 3), dtype=np.uint8)]
+    ra = p_half.predict(imgs, conf=0.001, imgsz=64)
+    rb = p_half.predict(imgs, conf=0.001, imgsz=64)
+    lazies = [r.masks for r in ra if isinstance(r.masks, LazyMasks)]
+    if not lazies:
+        pytest.skip("no detections from the random-init net")
+    LazyMasks.prefetch(ra)
+    for r1, r2 in zip(ra, rb):
+        if isinstance(r2.masks, LazyMasks):
+            assert r1.masks._np is not None
+            np.testing.assert_array_equal(np.asarray(r1.masks), np.asarray(r2.masks))
+
+
 def test_predictor_mask_modes_agree(tiny_seg_predictors):
     """Serving Results.masks across modes vs the exact host-float oracle:
     device mode (in-graph upsample+threshold, binary, lazy) must agree

@@ -148,6 +148,40 @@ def main():
         out[f"batch{b}_{tag}_prefetch_u8_ms_per_image"] = round(t_pre8 / b * 1e3, 1)
         emit()
 
+    # -- 2b. device_half mode: half-grid threshold, 4x less transfer ----------
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    p = model.predictor
+    p_half = Predictor(p.params, p.spec, compute_dtype=p.compute_dtype,
+                       names=p.names, mask_mode="device_half")
+    for tag, shape in (("640", (imgsz, imgsz, 3)), ("480p", (480, 854, 3))):
+        imgs = [rng.integers(0, 255, shape, dtype=np.uint8) for _ in range(b)]
+        res = p_half.predict(imgs, conf=0.0, imgsz=imgsz)
+        lms = [r.masks for r in res]
+        assert isinstance(lms[0], LazyMasks) and lms[0]._scale == 2
+        for m in lms:
+            m._n = rows
+        dev_buf = lms[0]._dev
+
+        def reset():
+            for m in lms:
+                m._np, m._dev = None, dev_buf
+
+        def prefetch_u8():
+            reset()
+            LazyMasks.prefetch(lms, dtype=np.uint8)
+
+        def one_image():
+            m = lms[0]
+            m._np, m._dev = None, dev_buf
+            return m.numpy()
+
+        t_img = median_time(one_image, reps, warmup=1)
+        t_pre8 = median_time(prefetch_u8, max(3, reps // 2), warmup=1)
+        out[f"half_read_{tag}_ms_per_image"] = round(t_img * 1e3, 1)
+        out[f"half_batch{b}_{tag}_prefetch_u8_ms_per_image"] = round(t_pre8 / b * 1e3, 1)
+        emit()
+
     # -- 3. floor accounting --------------------------------------------------
     kb = out["read_640_payload_kb"]
     floor = out["fetch_rtt_ms"] + kb * 1024 / (out["fetch_bw_mb_s"] * 1e6) * 1e3

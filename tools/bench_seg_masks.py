@@ -99,6 +99,31 @@ def main():
     out["device_read_conf25_n_dets"] = int(sum(len(r) for r in res25))
     emit()
 
+    # -- device_half: half-grid threshold, 4x less transfer on read ----------
+    if os.environ.get("SKIP_HALF", "0") != "1":
+        ph = Predictor(model.deploy_params, model.spec, compute_dtype=model.compute_dtype,
+                       names=model.names, mask_mode="device_half")
+        t0 = time.perf_counter()
+        ph.predict(imgs, conf=conf, imgsz=imgsz)
+        out["half_compile_s"] = round(time.perf_counter() - t0, 1)
+        emit()
+        dt, _ = timed(lambda: ph.predict(imgs, conf=conf, imgsz=imgsz), runs, warmup=2)
+        out["half_imgs_per_s"] = round(b / dt, 1)
+        out["half_ms_per_batch"] = round(dt * 1e3, 2)
+        emit()
+
+        def read_all_half():
+            res = ph.predict(imgs, conf=conf, imgsz=imgsz)
+            for r in res:
+                if r.masks is not None:
+                    np.asarray(r.masks)
+            return res
+
+        dt, _ = timed(read_all_half, max(2, runs // 4), warmup=1)
+        out["half_read_imgs_per_s"] = round(b / dt, 1)
+        out["half_read_ms_per_batch"] = round(dt * 1e3, 2)
+        emit()
+
     # -- exact host-float oracle -------------------------------------------
     if os.environ.get("SKIP_EXACT", "0") != "1":
         pe = Predictor(model.deploy_params, model.spec, compute_dtype=model.compute_dtype,

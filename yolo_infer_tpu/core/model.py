@@ -67,10 +67,15 @@ class YOLO11Model:
         names: Optional[Dict[int, str]] = None,
         seed: int = 0,
         compute_dtype=jnp.bfloat16,
+        mask_mode: str = "device",
     ):
         self.model_path = str(model_path)
         self.device = device or self._get_default_device()
         self.compute_dtype = compute_dtype
+        # segment-mask serving mode (see Predictor.mask_mode): 'device' =
+        # exact full-res masks; 'device_half' = half-grid threshold + host
+        # 2x nearest (4x less transfer when masks are consumed per image)
+        self.mask_mode = mask_mode
         self._predictor: Optional[Predictor] = None
         self.quant_act_scales = None  # set by PTQ quantization
         self.quant_min_channels = None  # static8 eligibility override (see Predictor)
@@ -155,6 +160,7 @@ class YOLO11Model:
                 self.deploy_params, self.spec, compute_dtype=self.compute_dtype, names=self.names,
                 quant_act_scales=self.quant_act_scales,
                 quant_min_channels=getattr(self, "quant_min_channels", None),
+                mask_mode=getattr(self, "mask_mode", "device"),
             )
         return self._predictor
 

@@ -56,10 +56,23 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
              (neutral), seg 38.25 -> 40.66 (-6%): obb/cls join the policy
              (unroll only), pose/seg stay whole.
 
-    Policy: detect/obb/classify; chunk 16 in the lane-starved regime
-    (32 <= B < 128, B % 16 == 0); "scan" only for the directly measured
-    n-detect-at-2-chunks case, "unroll" otherwise. Env overrides for sweeps:
-    YOLO_TPU_SERVE_CHUNK=<n> (0 disables), YOLO_TPU_CHUNK_MODE=unroll|scan.
+    The per-size A/B matrix (tools/bench_chunk_tile_matrix.py, v5e
+    2026-08-19, default vs chunk-off vs chunk-without-tiling, detect @640):
+
+      n/b64  20.31 / 21.66 / 40.35   -> chunked (tiling carries the win)
+      s/b32  20.78 / 15.78 / 18.41   -> NOT chunked: 32% regression — s's
+             channel widths already fill the b32 layouts; the subgraph
+             split only adds copies
+      m/b32  29.56 / 30.91 / 30.62   -> chunked
+      l/b32  42.27 / 44.52 / 42.81   -> chunked
+      x/b32  69.86 / 64.26 / 63.41   -> chunked WITHOUT the tiled early
+             stage (models/early.py tiled_eligible excludes s/x)
+
+    Policy: detect/obb/classify, sizes n/m/l/x (NOT s); chunk 16 in the
+    lane-starved regime (32 <= B < 128, B % 16 == 0); "scan" only for the
+    directly measured n-detect-at-2-chunks case, "unroll" otherwise. Env
+    overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n> (0 disables),
+    YOLO_TPU_CHUNK_MODE=unroll|scan.
     Meshed serving keeps the batch whole (chunking would fight the GSPMD
     data-axis sharding); quantized trees keep their measured int8
     eligibility tables keyed on the full batch's activation rows
@@ -72,6 +85,8 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     if env:
         return int(env), (mode_env or "unroll")
     if meshed or quantized or task not in ("detect", "obb", "classify"):
+        return 0, "unroll"
+    if size == "s":
         return 0, "unroll"
     if 32 <= batch < 128 and batch % 16 == 0:
         mode = "scan" if (size == "n" and batch == 32 and task == "detect") else "unroll"
@@ -101,8 +116,9 @@ class Results:
 class LazyMasks:
     """Device-resident serving masks, materialized to numpy on first access.
 
-    Holds a slice reference into the batch's bit-packed (B, max_det, imgsz,
-    imgsz//8) uint8 device buffer (ops/masks.py assemble_mask_bits_up) and
+    Holds a slice reference into the batch's bit-packed (B, max_det, grid,
+    grid//8) uint8 device buffer (ops/masks.py assemble_mask_bits_up; grid
+    is imgsz for mask_mode='device', imgsz//2 for 'device_half') and
     behaves like an (n, ch, cw) float32 array of BINARY {0, 1} masks — the
     ultralytics ``process_mask(upsample=True).gt_(0.5)`` serving semantic
     (note: the 'exact'/'q8' modes instead return SOFT sigmoid masks for
@@ -121,31 +137,52 @@ class LazyMasks:
         self._index = index
         self._n = n
         self._ratio, self._pad, self._orig_shape, self._imgsz = ratio, pad, orig_shape, imgsz
+        # the buffer is self-describing: (B, max_det, grid, grid//8).
+        # grid == imgsz for mask_mode='device'; imgsz//2 for 'device_half'
+        # (host finishes with a 2x nearest upsample — <=1 px boundary error
+        # for 4x less tunnel transfer).
+        grid = int(packed_dev.shape[2])
+        if imgsz % grid:
+            raise ValueError(f"mask grid {grid} does not divide imgsz {imgsz}")
+        self._scale = imgsz // grid
         self._np: Optional[np.ndarray] = None
 
     def _crop_window(self):
-        """(y0, x0, ch, cw, xb0, xb1): content band + byte-aligned col window."""
+        """(gy0, gh, xb0, xb1, trim): device fetch window in GRID rows /
+        byte-columns covering the letterbox content band, plus the full-res
+        ``trim = (r0, ch, c0, cw)`` applied on host after unpack (+ nearest
+        upsample when grid < imgsz)."""
         from yolo_infer_tpu.ops.letterbox import crop_letterbox_slices
 
         y0, x0, ch, cw = crop_letterbox_slices(self._ratio, self._pad, self._orig_shape, downsample=1)
         ch = min(ch, self._imgsz - y0)
         cw = min(cw, self._imgsz - x0)
-        return y0, x0, ch, cw, x0 // 8, -(-(x0 + cw) // 8)
+        s = self._scale
+        gy0 = y0 // s
+        gh = -(-(y0 + ch) // s) - gy0
+        gx0 = x0 // s
+        gx1 = -(-(x0 + cw) // s)
+        xb0, xb1 = gx0 // 8, -(-gx1 // 8)
+        return gy0, gh, xb0, xb1, (y0 - gy0 * s, ch, x0 - xb0 * 8 * s, cw)
 
-    def _finish(self, packed: np.ndarray, xoff: int, cw: int, dtype=np.float32) -> None:
-        """Unpack a fetched (n, ch, bytes) slice and finalize the crop."""
+    def _finish(self, packed: np.ndarray, trim, dtype=np.float32) -> None:
+        """Unpack a fetched (n, gh, bytes) slice, upsample to full res if the
+        grid is coarser, and finalize the crop."""
         from yolo_infer_tpu.ops.masks import unpack_mask_bits
 
         m = unpack_mask_bits(packed)
-        self._np = np.ascontiguousarray(m[:, :, xoff: xoff + cw].astype(dtype, copy=False))
+        if self._scale > 1:
+            m = m.repeat(self._scale, axis=1).repeat(self._scale, axis=2)
+        r0, ch, c0, cw = trim
+        self._np = np.ascontiguousarray(m[:, r0: r0 + ch, c0: c0 + cw].astype(dtype, copy=False))
         self._dev = None  # release this image's hold on the device buffer
 
     def numpy(self, dtype=np.float32) -> np.ndarray:
         """Transfer the content band of the n real rows + unpack bits.
 
         Only the letterbox CONTENT region crosses the wire: rows outside
-        [y0, y0+ch) and byte-columns outside the padded width window are
-        sliced off on device before the fetch (the crop bounds are
+        the content band and byte-columns outside the padded width window
+        are sliced off on device before the fetch (the crop bounds are
         host-known — VERDICT r3 #2; a 480p image in a 640 grid skips ~44%
         of the bytes). Bit-unpack is one vectorized np.unpackbits.
 
@@ -154,9 +191,9 @@ class LazyMasks:
         12 MB of uint8 to 48 MB of f32 — drawing/contour consumers don't
         need it). The first read's dtype is cached for later accesses."""
         if self._np is None:
-            y0, x0, ch, cw, xb0, xb1 = self._crop_window()
-            packed = np.asarray(self._dev[self._index, : self._n, y0: y0 + ch, xb0:xb1])
-            self._finish(packed, x0 - xb0 * 8, cw, dtype)
+            gy0, gh, xb0, xb1, trim = self._crop_window()
+            packed = np.asarray(self._dev[self._index, : self._n, gy0: gy0 + gh, xb0:xb1])
+            self._finish(packed, trim, dtype)
         return self._np
 
     @staticmethod
@@ -196,14 +233,14 @@ class LazyMasks:
                 continue
             wins = [m._crop_window() for m in ms]
             max_n = max(max(m._n for m in ms), 1)
-            gy0 = min(w[0] for w in wins)
-            gy1 = max(w[0] + w[2] for w in wins)
-            gxb0 = min(w[4] for w in wins)
-            gxb1 = max(w[5] for w in wins)
-            block = np.asarray(dev[i0:i1, :max_n, gy0:gy1, gxb0:gxb1])  # one fetch
-            for m, (y0, x0, ch, cw, xb0, xb1) in zip(ms, wins):
-                sub = block[m._index - i0, : m._n, y0 - gy0: y0 - gy0 + ch, xb0 - gxb0: xb1 - gxb0]
-                m._finish(sub, x0 - xb0 * 8, cw, dtype)
+            uy0 = min(w[0] for w in wins)
+            uy1 = max(w[0] + w[1] for w in wins)
+            uxb0 = min(w[2] for w in wins)
+            uxb1 = max(w[3] for w in wins)
+            block = np.asarray(dev[i0:i1, :max_n, uy0:uy1, uxb0:uxb1])  # one fetch
+            for m, (gy0, gh, xb0, xb1, trim) in zip(ms, wins):
+                sub = block[m._index - i0, : m._n, gy0 - uy0: gy0 - uy0 + gh, xb0 - uxb0: xb1 - uxb0]
+                m._finish(sub, trim, dtype)
 
     # ---- cheap (non-materializing) introspection ----
     @property
@@ -281,6 +318,11 @@ class Predictor:
         #   (process_mask(upsample=True).gt_(0.5) order, interpolation on
         #   the accelerator like the reference's F.interpolate), bit-packed;
         #   Results.masks is a LazyMasks view that stays on device until read
+        # "device_half": the same in-graph pipeline, thresholded on the
+        #   imgsz//2 grid; the host finishes with a 2x nearest upsample —
+        #   <=1 px boundary error at full res for 4x less device->host
+        #   transfer (the consumption floor through a remote tunnel is the
+        #   TRANSFER, not the device work: PERF_MATRIX seg_mask_read row)
         # "q8": in-graph sigmoid+crop, uint8-quantized masks; host upsamples
         #   floats (same order within 1/510)
         # "bits": in-graph 0.5-threshold at proto res, bit-packed, host
@@ -297,8 +339,10 @@ class Predictor:
         self.compute_dtype = compute_dtype
         self.pre_topk = pre_topk
         self.max_det = max_det
-        if mask_mode not in ("device", "q8", "bits", "exact"):
-            raise ValueError(f"mask_mode must be 'device', 'q8', 'bits' or 'exact', got {mask_mode!r}")
+        if mask_mode not in ("device", "device_half", "q8", "bits", "exact"):
+            raise ValueError(
+                f"mask_mode must be 'device', 'device_half', 'q8', 'bits' or 'exact', got {mask_mode!r}"
+            )
         self.mask_mode = mask_mode
         from yolo_infer_tpu.utils.compile_cache import enable_compile_cache
 
@@ -423,14 +467,18 @@ class Predictor:
                     mc, dets["anchor_idx"][..., None], axis=1
                 )  # (B, max_det, nm)
                 mmode = mask_out or self.mask_mode
-                if mmode == "device":
+                if mmode in ("device", "device_half"):
                     from yolo_infer_tpu.ops.masks import assemble_mask_bits_up
 
                     # full serving pipeline on device (sigmoid, crop,
                     # bilinear upsample, threshold), bit-packed; stays
-                    # device-resident until Results.masks is read
+                    # device-resident until Results.masks is read.
+                    # device_half thresholds on the imgsz//2 grid (4x less
+                    # transfer; LazyMasks nearest-upsamples on read — the
+                    # buffer's own grid size tells it which mode this is)
                     dets["mask_bits_up"] = assemble_mask_bits_up(
-                        out["proto"].astype(jnp.float32), coefs, dets["boxes"], imgsz
+                        out["proto"].astype(jnp.float32), coefs, dets["boxes"], imgsz,
+                        out_size=imgsz // 2 if mmode == "device_half" else None,
                     )
                 elif mmode == "q8":
                     from yolo_infer_tpu.ops.masks import assemble_masks_q8

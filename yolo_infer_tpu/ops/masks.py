@@ -213,25 +213,36 @@ def assemble_mask_bits_up(
     coefs: jnp.ndarray,  # (B, max_det, nm)
     boxes_px: jnp.ndarray,  # (B, max_det, 4) xyxy in letterboxed pixels
     imgsz: int,
+    out_size: int | None = None,
 ) -> jnp.ndarray:
     """Serving masks entirely on device: sigmoid -> crop (at proto res) ->
-    bilinear upsample to (imgsz, imgsz) -> 0.5-threshold -> bit-pack along W.
+    bilinear upsample to (out_size, out_size) -> 0.5-threshold -> bit-pack
+    along W. ``out_size`` defaults to ``imgsz`` (full resolution).
 
     This is the exact ultralytics serving pipeline — ``process_mask(
     upsample=True)`` then ``.gt_(0.5)`` — with the interpolation on the
     accelerator, where the reference's ``F.interpolate`` also runs. The
-    output is (B, max_det, imgsz, imgsz//8) uint8: imgsz²/8 bytes per
-    instance, pulled to the host only if ``Results.masks`` is actually read
-    (see ``core.predictor.LazyMasks``). ``lax.map`` over the batch bounds
-    the (max_det, imgsz, imgsz) f32 upsample intermediate to one image.
+    output is (B, max_det, out_size, out_size//8) uint8: out_size²/8 bytes
+    per instance, pulled to the host only if ``Results.masks`` is actually
+    read (see ``core.predictor.LazyMasks``). ``lax.map`` over the batch
+    bounds the (max_det, out_size, out_size) f32 upsample intermediate to
+    one image.
+
+    ``out_size = imgsz // 2`` is the ``mask_mode='device_half'`` serving
+    variant: masks are thresholded on the half grid and nearest-upsampled
+    2x on the host — boundary error <= 1 px at full resolution, for 4x less
+    device->host transfer (the tunnel transfer is the consumption floor,
+    PERF_MATRIX seg_mask_read row).
     """
     b, hm, wm, nm = proto.shape
-    if imgsz % 8:
-        raise ValueError(f"imgsz {imgsz} not a multiple of 8")
+    out = int(out_size) if out_size else imgsz
+    if out % 8:
+        raise ValueError(f"mask out_size {out} not a multiple of 8")
 
-    ratio = imgsz // hm
-    integer_r = imgsz == ratio * hm and imgsz == ratio * wm and 8 % ratio == 0
-    use_kernel = ratio == 4 and wm % 2 == 0  # the serving case (proto stride 4)
+    ratio = out // hm
+    integer_r = ratio >= 1 and out == ratio * hm and out == ratio * wm and 8 % ratio == 0
+    # fused Pallas kernel: the full-res serving case only (proto stride 4)
+    use_kernel = out == imgsz and ratio == 4 and wm % 2 == 0
 
     def one(args):
         p, c, bx = args
@@ -249,9 +260,9 @@ def assemble_mask_bits_up(
         soft = jax.nn.sigmoid(logits) * keep
         if integer_r:
             # phase-decomposed XLA fallback (never materializes the
-            # (max_det, imgsz, imgsz) f32 image)
+            # (max_det, out, out) f32 image)
             return _upsample_threshold_pack(soft, ratio)
-        up = _upsample_bilinear_mm(soft, (imgsz, imgsz))
+        up = _upsample_bilinear_mm(soft, (out, out))
         return _bitpack_w(up > 0.5)
 
     return lax.map(one, (proto, coefs, boxes_px))
