@@ -105,3 +105,9 @@ def test_chunk_policy_guards():
         assert mode == "unroll"  # scan is the measured n-at-2-chunks exception
     assert _serve_chunk(32, "n", "detect", False, False) == (16, "scan")
     assert _serve_chunk(64, "n", "detect", False, False) == (16, "unroll")
+    # s stays whole at every batch (chunk/tile matrix: chunking costs s 32%
+    # at b32); the other sizes keep the chunk policy
+    for b in (32, 48, 64, 96):
+        assert _serve_chunk(b, "s", "detect", False, False)[0] == 0
+    for size in ("m", "l", "x"):
+        assert _serve_chunk(32, size, "detect", False, False)[0] == 16

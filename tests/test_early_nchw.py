@@ -86,6 +86,18 @@ def test_early_tiled_ineligible_batches(model):
     assert E.tiled_eligible(model.deploy_params, model.spec, 16, 640, 640)
 
 
+def test_early_tiled_size_gate(model):
+    """Tiling inside the chunk subgraphs is gated by size: the chunk/tile A/B
+    matrix (tools/bench_chunk_tile_matrix.py, v5e 2026-08-19) measured it a
+    win for n (2x at b64) and mildly for m/l, but a LOSS for s (+13%) and
+    x (+10%) — their wider early channels already fill the lanes."""
+    import dataclasses
+
+    for sz, want in (("n", True), ("m", True), ("l", True), ("s", False), ("x", False)):
+        spec2 = dataclasses.replace(model.spec, size=sz)
+        assert E.tiled_eligible(model.deploy_params, spec2, 16, 640, 640) == want, sz
+
+
 def test_early_tiled_predictor_u8_path(model, monkeypatch):
     """The serving program's u8-tile branch returns the same detections as
     the untiled program (square source, fused float params)."""

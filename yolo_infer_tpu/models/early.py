@@ -126,6 +126,15 @@ def tiled_eligible(params: Params, spec, batch: int, h: int, w: int) -> bool:
     lanes, while the halo recompute stays."""
     if not (8 <= batch <= 16):
         return False
+    # size gate, per-size chunk/tile A/B matrix (tools/bench_chunk_tile_matrix
+    # v5e 2026-08-19): tiling inside the b16 chunk subgraphs carries the n
+    # win (b64 20.3 vs 40.3 without it) and mildly helps m/l (29.6/42.3 vs
+    # 30.6/42.8), but COSTS s and x (s 18.4 -> 20.8, x 63.4 -> 69.9): their
+    # wider early channels already fill the lanes, leaving only the halo
+    # recompute. YOLO_TPU_EARLY_TILED=force overrides the size gate for
+    # sweeps ("0"/"1" keep their global off/default meaning in yolo11.py).
+    if os.environ.get("YOLO_TPU_EARLY_TILED", "") != "force" and getattr(spec, "size", "") in ("s", "x"):
+        return False
     t = tiles_per_side(batch)
     halo = early_halo(spec)
     ht, wt = h // t, w // t
