@@ -91,11 +91,12 @@ def test_chunk_policy_guards():
 
     assert _serve_chunk(32, "n", "detect", True, False)[0] == 0  # meshed
     assert _serve_chunk(32, "n", "detect", False, True)[0] == 0  # quantized
-    # pose/seg unchunked (scan A/B 1.3-1.8x slower; unroll A/B neutral/-6%)
-    for task in ("segment", "pose"):
-        assert _serve_chunk(32, "n", task, False, False)[0] == 0
-    # obb/cls join with unroll (ab_chunk3 A/B: +3.7% / +4.4% at n/b32)
-    for task in ("obb", "classify"):
+    # seg unchunked (scan A/B 1.3-1.8x slower; unroll A/B -6%)
+    assert _serve_chunk(32, "n", "segment", False, False)[0] == 0
+    # obb/cls join with unroll (ab_chunk3 A/B: +3.7% / +4.4% at n/b32);
+    # pose joined after the select-then-decode tail rewrite unblocked it
+    # (bench_rowsel: 17.15 -> 12.14 ms at n/b32)
+    for task in ("obb", "classify", "pose"):
         assert _serve_chunk(32, "n", task, False, False) == (16, "unroll")
     # default policy: only lane-starved batches divisible by 16
     for b, want_chunk in ((8, False), (16, False), (32, True), (48, True), (64, True), (96, True), (128, False)):

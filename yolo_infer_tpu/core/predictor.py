@@ -54,7 +54,12 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
       n/b32  UNROLL A/B on the non-detect heads (ab_chunk3): obb 15.92 ->
              15.35 (+3.7%), cls 10.93 -> 10.47 (+4.4%), pose 17.15 -> 17.18
              (neutral), seg 38.25 -> 40.66 (-6%): obb/cls join the policy
-             (unroll only), pose/seg stay whole.
+             (unroll only), seg stays whole.
+      pose   re-A/B'd after the select-then-decode tail rewrite
+             (ops/select.py onehot; the old full-grid decode + row gather
+             was serializing the tail): whole 15.60 ms, chunk16-unroll
+             12.14 (2636 img/s, +29% over the round-3 17.15) — pose JOINS
+             the chunk policy (tools/bench_rowsel.py 2026-08-19).
 
     The per-size A/B matrix (tools/bench_chunk_tile_matrix.py, v5e
     2026-08-19, default vs chunk-off vs chunk-without-tiling, detect @640):
@@ -68,7 +73,7 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
       x/b32  69.86 / 64.26 / 63.41   -> chunked WITHOUT the tiled early
              stage (models/early.py tiled_eligible excludes s/x)
 
-    Policy: detect/obb/classify, sizes n/m/l/x (NOT s); chunk 16 in the
+    Policy: detect/obb/classify/pose, sizes n/m/l/x (NOT s); chunk 16 in the
     lane-starved regime (32 <= B < 128, B % 16 == 0); "scan" only for the
     directly measured n-detect-at-2-chunks case, "unroll" otherwise. Env
     overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n> (0 disables),
@@ -84,7 +89,7 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     mode_env = os.environ.get("YOLO_TPU_CHUNK_MODE", "")
     if env:
         return int(env), (mode_env or "unroll")
-    if meshed or quantized or task not in ("detect", "obb", "classify"):
+    if meshed or quantized or task not in ("detect", "obb", "classify", "pose"):
         return 0, "unroll"
     if size == "s":
         return 0, "unroll"
@@ -167,12 +172,13 @@ class LazyMasks:
 
     def _finish(self, packed: np.ndarray, trim, dtype=np.float32) -> None:
         """Unpack a fetched (n, gh, bytes) slice, upsample to full res if the
-        grid is coarser, and finalize the crop."""
-        from yolo_infer_tpu.ops.masks import unpack_mask_bits
+        grid is coarser, and finalize the crop. The upsample happens in the
+        PACKED bit domain (ops/masks.py repeat_mask_bits: a 256-entry LUT on
+        the 32x-smaller bytes) so the full-res boolean image is built exactly
+        once, by the single unpackbits."""
+        from yolo_infer_tpu.ops.masks import repeat_mask_bits, unpack_mask_bits
 
-        m = unpack_mask_bits(packed)
-        if self._scale > 1:
-            m = m.repeat(self._scale, axis=1).repeat(self._scale, axis=2)
+        m = unpack_mask_bits(repeat_mask_bits(packed, self._scale))
         r0, ch, c0, cw = trim
         self._np = np.ascontiguousarray(m[:, r0: r0 + ch, c0: c0 + cw].astype(dtype, copy=False))
         self._dev = None  # release this image's hold on the device buffer
@@ -452,20 +458,27 @@ class Predictor:
                     impl="xla" if self.mesh is not None else "auto",
                 )
             if spec.task == "pose":
+                from yolo_infer_tpu.ops.select import select_anchor_rows
+
                 b = out["kpts"][0].shape[0]
                 kflat = jnp.concatenate([k.reshape(b, -1, k.shape[-1]) for k in out["kpts"]], axis=1)
                 feat_shapes = [(f.shape[1], f.shape[2]) for f in out["feats"]]
                 ap, st = make_anchors(feat_shapes, spec.strides)
-                kdec = decode_keypoints(kflat, ap, st, spec.kpt_shape)  # (B, A, K, 3)
-                dets["kpts"] = jnp.take_along_axis(
-                    kdec, dets["anchor_idx"][..., None, None], axis=1
+                # select-then-decode: pull the max_det raw rows + their
+                # anchor/stride table rows, decode only those (the full-grid
+                # decode built (B, A, K, 3) f32 just to gather ~300 rows)
+                sel = dets["anchor_idx"]  # (B, max_det)
+                ksel = select_anchor_rows(kflat, sel)
+                apst = select_anchor_rows(jnp.concatenate([ap, st], axis=-1), sel)
+                dets["kpts"] = decode_keypoints(
+                    ksel, apst[..., :2], apst[..., 2:], spec.kpt_shape
                 )  # (B, max_det, K, 3)
             elif spec.task == "segment" and (mask_out or self.mask_mode) != "none":
+                from yolo_infer_tpu.ops.select import select_anchor_rows
+
                 b = out["mc"][0].shape[0]
                 mc = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in out["mc"]], axis=1)
-                coefs = jnp.take_along_axis(
-                    mc, dets["anchor_idx"][..., None], axis=1
-                )  # (B, max_det, nm)
+                coefs = select_anchor_rows(mc, dets["anchor_idx"])  # (B, max_det, nm)
                 mmode = mask_out or self.mask_mode
                 if mmode in ("device", "device_half"):
                     from yolo_infer_tpu.ops.masks import assemble_mask_bits_up

@@ -152,11 +152,18 @@ def decode_keypoints(
     strd: jnp.ndarray,
     kpt_shape: Tuple[int, int] = (17, 3),
 ) -> jnp.ndarray:
-    """Raw kpt maps flattened to (B, A, nk) -> decoded (B, A, K, 3) image coords."""
+    """Raw kpt maps flattened to (B, A, nk) -> decoded (B, A, K, 3) image coords.
+
+    ``anchor_points``/``strd`` may be the shared (A, 2)/(A, 1) grid tables or
+    per-row (B, A, 2)/(B, A, 1) selections — the serving tail decodes only
+    the max_det NMS-selected rows (select-then-decode: the full-grid decode
+    materialized (B, 8400, K, 3) f32 just to gather ~300 rows from it)."""
     b, a, _ = kpts_flat.shape
     k, d = kpt_shape
     y = kpts_flat.reshape(b, a, k, d).astype(jnp.float32)
-    xy = (y[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)) * strd[None, :, None, :]
+    ap = anchor_points if anchor_points.ndim == 3 else anchor_points[None]
+    st = strd if strd.ndim == 3 else strd[None]
+    xy = (y[..., :2] * 2.0 + (ap[:, :, None, :] - 0.5)) * st[:, :, None, :]
     if d == 3:
         conf = jax.nn.sigmoid(y[..., 2:3])
         return jnp.concatenate([xy, conf], axis=-1)
