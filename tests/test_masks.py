@@ -126,6 +126,18 @@ def test_upsampled_bits_half_grid_matches_oracle(seed):
         assert mismatch < 1e-3, f"image {i}: mismatch fraction {mismatch}"
 
 
+@pytest.mark.parametrize("s", [1, 2, 4])
+def test_repeat_mask_bits_matches_bool_repeat(s):
+    """Packed-domain nearest upsample == unpack -> np.repeat on the bools."""
+    from yolo_infer_tpu.ops.masks import repeat_mask_bits
+
+    rng = np.random.default_rng(s)
+    packed = rng.integers(0, 256, (3, 5, 4), dtype=np.uint8)
+    got = unpack_mask_bits(repeat_mask_bits(packed, s))
+    want = unpack_mask_bits(packed).repeat(s, axis=-2).repeat(s, axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_predictor_device_half_mode(tiny_seg_predictors):
     """mask_mode='device_half': Results.masks has the SAME shape as the
     full-res device mode (the host 2x-nearest + trim restores full-res

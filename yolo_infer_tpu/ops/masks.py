@@ -208,6 +208,37 @@ def unpack_mask_bits(packed: np.ndarray) -> np.ndarray:
     return np.unpackbits(np.asarray(packed, np.uint8), axis=-1).astype(bool)
 
 
+_BIT_REPEAT_LUT: dict = {}
+
+
+def _bit_repeat_lut(s: int) -> np.ndarray:
+    """(256, s) uint8: byte b -> s bytes whose bits repeat each bit of b
+    s times (MSB-first, matching unpack_mask_bits)."""
+    if s not in _BIT_REPEAT_LUT:
+        bits = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)  # (256, 8)
+        _BIT_REPEAT_LUT[s] = np.packbits(bits.repeat(s, axis=1), axis=1)  # (256, s)
+    return _BIT_REPEAT_LUT[s]
+
+
+def repeat_mask_bits(packed: np.ndarray, s: int) -> np.ndarray:
+    """Nearest-neighbor s-x upsample in the PACKED bit domain:
+    (..., H, B) uint8 -> (..., s*H, s*B), each source bit duplicated into an
+    s x s block. Equivalent to unpack -> np.repeat(s, -2).repeat(s, -1) ->
+    pack, but ~10x cheaper on host: the column duplication is one 256-entry
+    LUT gather on the 32x-smaller packed bytes and the row duplication
+    repeats packed rows — the expensive full-res boolean image is built
+    exactly once, by the caller's single unpackbits. Requires 8 % s == 0
+    (the device_half consumption path: s=2)."""
+    if s == 1:
+        return packed
+    if 8 % s:
+        raise ValueError(f"bit-repeat factor {s} must divide 8")
+    lut = _bit_repeat_lut(s)
+    out = lut[packed]  # (..., H, B, s)
+    out = out.reshape(packed.shape[:-1] + (packed.shape[-1] * s,))
+    return out.repeat(s, axis=-2)
+
+
 def assemble_mask_bits_up(
     proto: jnp.ndarray,  # (B, Hm, Wm, nm)
     coefs: jnp.ndarray,  # (B, max_det, nm)
