@@ -95,9 +95,11 @@ def test_chunk_policy_guards():
     assert _serve_chunk(32, "n", "segment", False, False)[0] == 0
     # obb/cls join with unroll (ab_chunk3 A/B: +3.7% / +4.4% at n/b32);
     # pose joined after the select-then-decode tail rewrite unblocked it
-    # (bench_rowsel: 17.15 -> 12.14 ms at n/b32)
-    for task in ("obb", "classify", "pose"):
+    # (bench_rowsel: 17.15 -> 12.14 unroll -> 11.85 scan at n/b32)
+    for task in ("obb", "classify"):
         assert _serve_chunk(32, "n", task, False, False) == (16, "unroll")
+    assert _serve_chunk(32, "n", "pose", False, False) == (16, "scan")
+    assert _serve_chunk(64, "n", "pose", False, False) == (16, "unroll")
     # default policy: only lane-starved batches divisible by 16
     for b, want_chunk in ((8, False), (16, False), (32, True), (48, True), (64, True), (96, True), (128, False)):
         c, mode = _serve_chunk(b, "m", "detect", False, False)

@@ -53,13 +53,14 @@ def main():
         best = "onehot" if o < g else "gather"
         print(json.dumps({"task": task, "best": best,
                           "gather_ms": g, "onehot_ms": o}), flush=True)
-        if task == "pose":
+        if task == "pose" or os.environ.get("CHUNK_CELL", "") == "1":
             # does chunking start to pay once the tail isn't gather-bound?
-            c = bench(task, {"YOLO_TPU_ROWSEL": best,
-                             "YOLO_TPU_SERVE_CHUNK": "16",
-                             "YOLO_TPU_CHUNK_MODE": "unroll"})
-            print(json.dumps({"task": "pose_chunk16", "best_impl": best,
-                              "chunk_ms": c, "whole_ms": min(g, o)}), flush=True)
+            for mode in os.environ.get("CHUNK_MODES", "unroll").split(","):
+                c = bench(task, {"YOLO_TPU_ROWSEL": best,
+                                 "YOLO_TPU_SERVE_CHUNK": "16",
+                                 "YOLO_TPU_CHUNK_MODE": mode})
+                print(json.dumps({"task": f"{task}_chunk16_{mode}", "best_impl": best,
+                                  "chunk_ms": c, "whole_ms": min(g, o)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -23,4 +23,8 @@ def __getattr__(name):  # lazy: keep `import yolo_infer_tpu` light
         from yolo_infer_tpu.core import model as _m
 
         return getattr(_m, name)
+    if name in ("Predictor", "Results", "LazyMasks"):
+        from yolo_infer_tpu.core import predictor as _p
+
+        return getattr(_p, name)
     raise AttributeError(name)

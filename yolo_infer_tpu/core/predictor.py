@@ -59,7 +59,9 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
              (ops/select.py onehot; the old full-grid decode + row gather
              was serializing the tail): whole 15.60 ms, chunk16-unroll
              12.14 (2636 img/s, +29% over the round-3 17.15) — pose JOINS
-             the chunk policy (tools/bench_rowsel.py 2026-08-19).
+             the chunk policy (tools/bench_rowsel.py 2026-08-19); a scan
+             cell then measured 11.85 vs 12.14/12.19 unroll — pose shares
+             detect's n-at-2-chunks scan preference.
 
     The per-size A/B matrix (tools/bench_chunk_tile_matrix.py, v5e
     2026-08-19, default vs chunk-off vs chunk-without-tiling, detect @640):
@@ -94,7 +96,7 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     if size == "s":
         return 0, "unroll"
     if 32 <= batch < 128 and batch % 16 == 0:
-        mode = "scan" if (size == "n" and batch == 32 and task == "detect") else "unroll"
+        mode = "scan" if (size == "n" and batch == 32 and task in ("detect", "pose")) else "unroll"
         return 16, (mode_env or mode)
     return 0, "unroll"
 
