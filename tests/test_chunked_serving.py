@@ -91,12 +91,11 @@ def test_chunk_policy_guards():
 
     assert _serve_chunk(32, "n", "detect", True, False)[0] == 0  # meshed
     assert _serve_chunk(32, "n", "detect", False, True)[0] == 0  # quantized
-    # seg unchunked (scan A/B 1.3-1.8x slower; unroll A/B -6%)
-    assert _serve_chunk(32, "n", "segment", False, False)[0] == 0
     # obb/cls join with unroll (ab_chunk3 A/B: +3.7% / +4.4% at n/b32);
-    # pose joined after the select-then-decode tail rewrite unblocked it
-    # (bench_rowsel: 17.15 -> 12.14 unroll -> 11.85 scan at n/b32)
-    for task in ("obb", "classify"):
+    # pose and seg joined after the select-then-decode tail rewrite
+    # unblocked them (bench_rowsel: pose 17.15 -> 11.85 scan; seg's old
+    # -6% flipped to +4.8% unroll)
+    for task in ("obb", "classify", "segment"):
         assert _serve_chunk(32, "n", task, False, False) == (16, "unroll")
     assert _serve_chunk(32, "n", "pose", False, False) == (16, "scan")
     assert _serve_chunk(64, "n", "pose", False, False) == (16, "unroll")

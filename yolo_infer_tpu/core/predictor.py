@@ -53,15 +53,15 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
              vs 38.3/17.4/10.8) — scan re-rolls the loop body's layouts.
       n/b32  UNROLL A/B on the non-detect heads (ab_chunk3): obb 15.92 ->
              15.35 (+3.7%), cls 10.93 -> 10.47 (+4.4%), pose 17.15 -> 17.18
-             (neutral), seg 38.25 -> 40.66 (-6%): obb/cls join the policy
-             (unroll only), seg stays whole.
-      pose   re-A/B'd after the select-then-decode tail rewrite
+             (neutral), seg 38.25 -> 40.66 (-6%): obb/cls joined first.
+      pose/seg re-A/B'd after the select-then-decode tail rewrite
              (ops/select.py onehot; the old full-grid decode + row gather
-             was serializing the tail): whole 15.60 ms, chunk16-unroll
-             12.14 (2636 img/s, +29% over the round-3 17.15) — pose JOINS
-             the chunk policy (tools/bench_rowsel.py 2026-08-19); a scan
-             cell then measured 11.85 vs 12.14/12.19 unroll — pose shares
-             detect's n-at-2-chunks scan preference.
+             was serializing the tail): pose whole 15.60 ms, chunk16-unroll
+             12.14, scan 11.85 (2701 img/s, +30% over the round-3 17.15;
+             pose shares detect's n-at-2-chunks scan preference, and m
+             validates: 31.06 chunked vs 32.84 whole). seg's old -6%
+             FLIPPED: whole 37.58, chunk16-unroll 35.86 (892 img/s) —
+             both join the policy (tools/bench_rowsel.py 2026-08-19).
 
     The per-size A/B matrix (tools/bench_chunk_tile_matrix.py, v5e
     2026-08-19, default vs chunk-off vs chunk-without-tiling, detect @640):
@@ -75,9 +75,9 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
       x/b32  69.86 / 64.26 / 63.41   -> chunked WITHOUT the tiled early
              stage (models/early.py tiled_eligible excludes s/x)
 
-    Policy: detect/obb/classify/pose, sizes n/m/l/x (NOT s); chunk 16 in the
-    lane-starved regime (32 <= B < 128, B % 16 == 0); "scan" only for the
-    directly measured n-detect-at-2-chunks case, "unroll" otherwise. Env
+    Policy: every task, sizes n/m/l/x (NOT s); chunk 16 in the lane-starved
+    regime (32 <= B < 128, B % 16 == 0); "scan" only for the directly
+    measured n-at-2-chunks detect/pose cases, "unroll" otherwise. Env
     overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n> (0 disables),
     YOLO_TPU_CHUNK_MODE=unroll|scan.
     Meshed serving keeps the batch whole (chunking would fight the GSPMD
@@ -91,7 +91,7 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     mode_env = os.environ.get("YOLO_TPU_CHUNK_MODE", "")
     if env:
         return int(env), (mode_env or "unroll")
-    if meshed or quantized or task not in ("detect", "obb", "classify", "pose"):
+    if meshed or quantized:
         return 0, "unroll"
     if size == "s":
         return 0, "unroll"
