@@ -217,6 +217,17 @@ def main() -> None:
             if isinstance(extras.get("seg"), dict):
                 extras.update(extras.pop("seg"))
 
+        def _pose():
+            # pose serving (round 4: select-then-decode kpt tail + chunked
+            # scan subgraphs took n/b32 16.9 -> 11.85 ms; PERF_MATRIX
+            # serving_pose rows)
+            p = YOLO11Model(f"yolo11{size}-pose")
+            r = p.benchmark(imgsz=imgsz, batch=batch, runs=max(runs // 2, 20), warmup=3)
+            return round(r["throughput_imgs_per_s"], 1)
+
+        if os.environ.get("BENCH_POSE", "1") == "1":
+            _try("pose_fps", _pose)
+
         big_batch = int(os.environ.get("BENCH_BIG_BATCH", "128"))
         _try("fps_b%d" % big_batch, lambda: round(
             model.benchmark(imgsz=imgsz, batch=big_batch, runs=max(runs // 4, 10), warmup=3)["throughput_imgs_per_s"], 1))

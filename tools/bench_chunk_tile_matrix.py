@@ -16,7 +16,8 @@ Reference protocol parity: throughput sweep over model sizes at fixed batch
 sync (the reference's timers never synchronized - SURVEY.md section 6).
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_chunk_tile_matrix.py
-env: CONFIGS="n:64,s:32,m:32,l:32,x:32" RUNS=30 IMGSZ=640
+env: CONFIGS="n:64,s:32,m:32,l:32,x:32" RUNS=30 IMGSZ=640 TASK=detect
+     VARIANTS=default,chunk_off,chunk_no_tile
 """
 
 import json
@@ -33,6 +34,9 @@ def main():
 
     imgsz = int(os.environ.get("IMGSZ", "640"))
     runs = int(os.environ.get("RUNS", "30"))
+    task = os.environ.get("TASK", "detect")
+    suffix = {"detect": "", "pose": "-pose", "segment": "-seg", "obb": "-obb",
+              "classify": "-cls"}[task]
     configs = [
         (c.split(":")[0], int(c.split(":")[1]))
         for c in os.environ.get("CONFIGS", "n:64,s:32,m:32,l:32,x:32").split(",")
@@ -40,10 +44,14 @@ def main():
 
     # variants: production default, chunking off (whole batch), chunking on
     # with the tiled early stage off inside the b16 subgraphs
+    all_variants = {
+        "default": {},
+        "chunk_off": {"YOLO_TPU_SERVE_CHUNK": "0"},
+        "chunk_no_tile": {"YOLO_TPU_EARLY_TILED": "0"},
+    }
     variants = [
-        ("default", {}),
-        ("chunk_off", {"YOLO_TPU_SERVE_CHUNK": "0"}),
-        ("chunk_no_tile", {"YOLO_TPU_EARLY_TILED": "0"}),
+        (v, all_variants[v])
+        for v in os.environ.get("VARIANTS", "default,chunk_off,chunk_no_tile").split(",")
     ]
     gated = ("YOLO_TPU_SERVE_CHUNK", "YOLO_TPU_CHUNK_MODE", "YOLO_TPU_EARLY_TILED")
 
@@ -55,19 +63,19 @@ def main():
             os.environ.update(env)
             # fresh model per variant: the predictor caches jitted programs
             # per signature, and the env knobs are read at trace time
-            model = YOLO11Model(f"yolo11{size}")
+            model = YOLO11Model(f"yolo11{size}{suffix}")
             r = model.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=3)
             rows[tag] = round(r["avg_time_s"] * 1e3, 3)
             print(json.dumps({
-                "size": size, "batch": batch, "variant": tag,
+                "size": size, "batch": batch, "task": task, "variant": tag,
                 "ms": rows[tag],
                 "fps": round(r["throughput_imgs_per_s"], 1),
                 "compile_s": round(r["compile_time_s"], 1),
             }), flush=True)
             del model
         best = min(rows, key=rows.get)
-        print(json.dumps({"size": size, "batch": batch, "best": best,
-                          "rows_ms": rows}), flush=True)
+        print(json.dumps({"size": size, "batch": batch, "task": task,
+                          "best": best, "rows_ms": rows}), flush=True)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 # 2026-08-19, n/b32 @640, 30-run sustained): pose 16.00 -> 15.60 ms,
 # segment 37.83 -> 37.44. onehot also unblocked pose chunking (the gather
 # serialized the tail): pose chunk16-unroll 12.14 ms vs 17.15 round-3 base.
-_DEFAULT = "onehot"
+# On non-TPU backends the (B, K, A) contraction is raw extra FLOPs with no
+# scalar-gather problem to dodge — gather there.
+def _default_impl() -> str:
+    from yolo_infer_tpu.ops.nms import _on_tpu
+
+    return "onehot" if _on_tpu() else "gather"
 
 
 def select_anchor_rows(x: jnp.ndarray, idx: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
@@ -39,7 +44,7 @@ def select_anchor_rows(x: jnp.ndarray, idx: jnp.ndarray, impl: str | None = None
     x: (B, A, D) per-batch grid, or (A, D) shared across the batch
     (anchor-point / stride tables). idx: (B, K) int32.
     """
-    impl = impl or os.environ.get("YOLO_TPU_ROWSEL", "") or _DEFAULT
+    impl = impl or os.environ.get("YOLO_TPU_ROWSEL", "") or _default_impl()
     b, k = idx.shape
     if x.ndim == 2:
         a, d = x.shape
