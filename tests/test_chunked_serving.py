@@ -113,3 +113,10 @@ def test_chunk_policy_guards():
         assert _serve_chunk(b, "s", "detect", False, False)[0] == 0
     for size in ("m", "l", "x"):
         assert _serve_chunk(32, size, "detect", False, False)[0] == 16
+    # segment chunks at n ONLY (m/b32 task matrix: 55.38 chunked vs 54.99
+    # whole = -0.7%, and the chunked program costs a 561 s compile vs 17 s);
+    # obb/classify keep the chunk at m (+7.4% / +4.6%)
+    for size in ("m", "l", "x"):
+        assert _serve_chunk(32, size, "segment", False, False)[0] == 0
+    assert _serve_chunk(32, "m", "obb", False, False) == (16, "unroll")
+    assert _serve_chunk(32, "m", "classify", False, False) == (16, "unroll")

@@ -62,6 +62,11 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
              validates: 31.06 chunked vs 32.84 whole). seg's old -6%
              FLIPPED: whole 37.58, chunk16-unroll 35.86 (892 img/s) —
              both join the policy (tools/bench_rowsel.py 2026-08-19).
+      m/b32  task validation (bench_chunk_tile_matrix TASK=...): obb 30.64
+             chunked vs 32.91 whole (+7.4%), cls 19.77 vs 20.68 (+4.6%) —
+             chunking holds; segment 55.38 chunked vs 54.99 whole (-0.7%,
+             and the chunked seg program costs a 561 s compile vs 17 s) —
+             segment chunks at n ONLY.
 
     The per-size A/B matrix (tools/bench_chunk_tile_matrix.py, v5e
     2026-08-19, default vs chunk-off vs chunk-without-tiling, detect @640):
@@ -75,9 +80,10 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
       x/b32  69.86 / 64.26 / 63.41   -> chunked WITHOUT the tiled early
              stage (models/early.py tiled_eligible excludes s/x)
 
-    Policy: every task, sizes n/m/l/x (NOT s); chunk 16 in the lane-starved
-    regime (32 <= B < 128, B % 16 == 0); "scan" only for the directly
-    measured n-at-2-chunks detect/pose cases, "unroll" otherwise. Env
+    Policy: every task, sizes n/m/l/x (NOT s; segment additionally n only);
+    chunk 16 in the lane-starved regime (32 <= B < 128, B % 16 == 0); "scan"
+    only for the directly measured n-at-2-chunks detect/pose cases, "unroll"
+    otherwise. Env
     overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n> (0 disables),
     YOLO_TPU_CHUNK_MODE=unroll|scan.
     Meshed serving keeps the batch whole (chunking would fight the GSPMD
@@ -94,6 +100,8 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     if meshed or quantized:
         return 0, "unroll"
     if size == "s":
+        return 0, "unroll"
+    if task == "segment" and size != "n":
         return 0, "unroll"
     if 32 <= batch < 128 and batch % 16 == 0:
         mode = "scan" if (size == "n" and batch == 32 and task in ("detect", "pose")) else "unroll"
