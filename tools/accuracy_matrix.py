@@ -114,13 +114,41 @@ def run_size(size: str, imgsz: int = 128, nc: int = 4):
     return rows
 
 
+def run_seg_half():
+    """Emit the mask_mode='device_half' accuracy row (pairs the 4x-transfer
+    mask-read speed lever, PERF_MATRIX seg_mask_read_half, with accuracy
+    evidence). Protocol + gates live in
+    tests/test_fidelity_variants.py seg_half_metrics()."""
+    from test_fidelity_variants import seg_half_metrics
+
+    m = seg_half_metrics()
+    row = {
+        "size": "n", "variant": "seg_device_half_masks",
+        "mask_iou_vs_full_mean": round(m["iou_mean"], 4),
+        "mask_iou_vs_full_min": round(m["iou_min"], 4),
+        "mask_map50_delta_vs_full": round(abs(m["mm_full"]["map50"] - m["mm_half"]["map50"]), 4),
+        "mask_map_delta_vs_full": round(abs(m["mm_full"]["map"] - m["mm_half"]["map"]), 4),
+        "mask_map50_delta_vs_torch": round(abs(m["mm_torch"]["map50"] - m["mm_half"]["map50"]), 4),
+        "n_dets": m["n_dets"],
+    }
+    print(json.dumps(row), flush=True)
+    return [row]
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--sizes", default="n,m")
     ap.add_argument("--imgsz", type=int, default=128)
+    ap.add_argument("--seg-half", action="store_true",
+                    help="emit only the segment device_half mask accuracy row")
     ap.add_argument("--out", default=None, help="write rows JSON here")
     args = ap.parse_args(argv)
     rows = []
+    if args.seg_half:
+        rows = run_seg_half()
+        if args.out:
+            Path(args.out).write_text(json.dumps({"rows": rows}, indent=1))
+        return 0
     for size in args.sizes.split(","):
         rows += run_size(size.strip(), args.imgsz)
     out = {
