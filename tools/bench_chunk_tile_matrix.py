@@ -48,6 +48,10 @@ def main():
         "default": {},
         "chunk_off": {"YOLO_TPU_SERVE_CHUNK": "0"},
         "chunk_no_tile": {"YOLO_TPU_EARLY_TILED": "0"},
+        # finer split: b8 subgraphs also sit inside models/early.py's
+        # tiled_eligible window (8 <= B <= 16) — is b8 faster than b16?
+        "chunk8_unroll": {"YOLO_TPU_SERVE_CHUNK": "8", "YOLO_TPU_CHUNK_MODE": "unroll"},
+        "chunk8_scan": {"YOLO_TPU_SERVE_CHUNK": "8", "YOLO_TPU_CHUNK_MODE": "scan"},
     }
     variants = [
         (v, all_variants[v])
