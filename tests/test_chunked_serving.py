@@ -120,3 +120,9 @@ def test_chunk_policy_guards():
         assert _serve_chunk(32, size, "segment", False, False)[0] == 0
     assert _serve_chunk(32, "m", "obb", False, False) == (16, "unroll")
     assert _serve_chunk(32, "m", "classify", False, False) == (16, "unroll")
+    # imgsz gate (imgsz matrix 2026-08-19): below 640 batches stay whole
+    # (n/b32@320 measured 3.97 ms whole vs 5.12 chunked); 640/1280 chunk
+    # (1280: 45.24 chunked vs 62.43 whole)
+    assert _serve_chunk(32, "n", "detect", False, False, imgsz=320)[0] == 0
+    assert _serve_chunk(32, "m", "detect", False, False, imgsz=480)[0] == 0
+    assert _serve_chunk(32, "n", "detect", False, False, imgsz=1280) == (16, "scan")

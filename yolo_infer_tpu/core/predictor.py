@@ -31,7 +31,8 @@ from yolo_infer_tpu.ops.preprocess import preprocess_batch
 from yolo_infer_tpu.utils.coco_names import COCO_NAMES
 
 
-def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool) -> Tuple[int, str]:
+def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool,
+                 imgsz: int = 640) -> Tuple[int, str]:
     """(sub-batch size, mode) for batch-chunked serving (0 = batch runs whole).
 
     At lane-starved batches XLA's layout assignment for the tiny-channel
@@ -80,8 +81,16 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
       x/b32  69.86 / 64.26 / 63.41   -> chunked WITHOUT the tiled early
              stage (models/early.py tiled_eligible excludes s/x)
 
+    The policy is also imgsz-gated (the round-4 imgsz matrix caught a third
+    silent loss in the imgsz-blind defaults, tools/bench_chunk_tile_matrix
+    IMGSZ=320/1280 2026-08-19): n/b32 detect at 320 runs 3.97 ms WHOLE vs
+    5.12 chunked (-29%), while 1280 chunks at +38% (45.24 vs 62.43 whole,
+    with the tiled early stage inside the subgraphs carrying ~2x: 86.65
+    without). Batches stay whole below 640.
+
     Policy: every task, sizes n/m/l/x (NOT s; segment additionally n only);
-    chunk 16 in the lane-starved regime (32 <= B < 128, B % 16 == 0); "scan"
+    chunk 16 in the lane-starved regime (32 <= B < 128, B % 16 == 0) at
+    imgsz >= 640; "scan"
     only for the directly measured n-at-2-chunks detect/pose cases, "unroll"
     otherwise. Env
     overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n> (0 disables),
@@ -98,6 +107,8 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     if env:
         return int(env), (mode_env or "unroll")
     if meshed or quantized:
+        return 0, "unroll"
+    if imgsz < 640:
         return 0, "unroll"
     if size == "s":
         return 0, "unroll"
@@ -529,7 +540,8 @@ class Predictor:
         @jax.jit
         def run(params, images_u8, conf, iou):
             b = int(images_u8.shape[0])
-            chunk, chunk_mode = _serve_chunk(b, spec.size, spec.task, self.mesh is not None, self.quant_act_scales is not None)
+            chunk, chunk_mode = _serve_chunk(b, spec.size, spec.task, self.mesh is not None, self.quant_act_scales is not None,
+                                             imgsz=int(images_u8.shape[1]))
             if chunk and b > chunk and b % chunk == 0:
                 # Batch-chunked serving: every per-image output (NMS dets,
                 # masks, keypoints) is fixed-shape, so running the whole
