@@ -52,6 +52,11 @@ def main():
         # tiled_eligible window (8 <= B <= 16) — is b8 faster than b16?
         "chunk8_unroll": {"YOLO_TPU_SERVE_CHUNK": "8", "YOLO_TPU_CHUNK_MODE": "unroll"},
         "chunk8_scan": {"YOLO_TPU_SERVE_CHUNK": "8", "YOLO_TPU_CHUNK_MODE": "scan"},
+        # forced chunk-16 for cells where the policy default is whole (s at
+        # any imgsz, everything below 640) — measures what the gate leaves
+        # on the table
+        "chunk16_unroll": {"YOLO_TPU_SERVE_CHUNK": "16", "YOLO_TPU_CHUNK_MODE": "unroll"},
+        "chunk16_scan": {"YOLO_TPU_SERVE_CHUNK": "16", "YOLO_TPU_CHUNK_MODE": "scan"},
     }
     variants = [
         (v, all_variants[v])
