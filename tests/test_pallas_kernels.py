@@ -180,6 +180,46 @@ def test_fused_qkv_attention_kernel_matches_xla(n, kd, hd, heads, b=3):
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("q_rows", [None, 32, 16])
+def test_fused_qkv_attention_row_tiling_bit_exact(q_rows, n=64, kd=16, hd=32, heads=2, b=2):
+    """Query-row tiling is bit-exact vs the whole-row kernel: softmax rows
+    are independent, each block sees the full k/v slab. This is the VMEM
+    escape hatch for imgsz 1280 (N=1600 at s/m slab width OOM'd the
+    whole-row kernel's 16 MB scoped-VMEM stack in production, 2026-08-19)."""
+    from yolo_infer_tpu.ops.pallas.attention_fused import attention_qkv_fused_pallas
+
+    rng = np.random.default_rng(2)
+    step = 2 * kd + hd
+    qkv_raw = jnp.asarray(rng.standard_normal((b, n, heads * step)).astype(np.float32), jnp.bfloat16)
+    whole = np.asarray(attention_qkv_fused_pallas(qkv_raw, heads, kd, hd, interpret=True, q_rows=n), np.float32)
+    tiled = np.asarray(attention_qkv_fused_pallas(qkv_raw, heads, kd, hd, interpret=True, q_rows=q_rows), np.float32)
+    np.testing.assert_array_equal(whole, tiled)
+
+
+def test_pick_q_rows_vmem_gate():
+    """pick_q_rows keeps small shapes whole, tiles 1280-scale shapes, and
+    refuses shapes no tiling can fit — calibrated on the observed 1280
+    compiles (n slab fit at 16 MB, s/m slab OOM'd at 16.48 M)."""
+    from yolo_infer_tpu.ops.pallas.attention_fused import pick_q_rows
+
+    assert pick_q_rows(400, 256, 128) == 400     # every size @640: whole row
+    assert pick_q_rows(400, 512, 256) == 400
+    for d_in, d_out in ((256, 128), (512, 256)):  # n and s/m/l/x @1280
+        qr = pick_q_rows(1600, d_in, d_out)
+        assert qr is not None and qr < 1600 and 1600 % qr == 0
+    assert pick_q_rows(3600, 512, 256) is not None  # @1920 still tiles
+    assert pick_q_rows(25, 2**22, 2**22) is None    # absurd width: fall back
+
+
+def test_attn_impl_gate_falls_back_when_no_tiling_fits():
+    """_attn_impl returns 'xla' when pick_q_rows finds no fitting tiling
+    (and 'fused' requires a non-CPU backend, so force via the shape path)."""
+    from yolo_infer_tpu.models.blocks import _attn_impl
+
+    x = jnp.zeros((1, 5, 5, 8), jnp.bfloat16)
+    assert _attn_impl(x, None, False, "auto", 25, 2**22, 2**22) == "xla"
+
+
 def test_mask_pack_kernel_matches_xla_phase_path():
     """upsample4x_threshold_pack (interpret mode) == the XLA phase-decomposed
     reference on random soft masks, bit-exact."""

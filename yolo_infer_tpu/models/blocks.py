@@ -194,16 +194,17 @@ def init_attention(rng, dim: int, *, num_heads: int, attn_ratio: float = 0.5, dt
     )
 
 
-def _attn_impl(qkv, s, training: bool, impl: str, n: int) -> str:
+def _attn_impl(qkv, s, training: bool, impl: str, n: int, d_in: int, d_out: int) -> str:
     """Attention implementation choice: "fused" | "pallas" | "xla".
 
     "fused" (attention_qkv_fused_pallas) is the deploy-time default on the
     TPU backend: it consumes the raw qkv-conv slab with no head-major
     repack — the b32 device trace showed the XLA path's pack fusion at
     1.47 ms and its f32 softmax chain at ~1.6 ms, vs ~0.2 ms for the whole
-    fused kernel (tools/bench_attn_fused.py, 2026-08-19). Requires the f32
-    score tile (N x N per head) to fit VMEM — true through imgsz 1280
-    (N=1600, 10.2 MB of the ~16 MB/core budget); larger N falls back to XLA.
+    fused kernel (tools/bench_attn_fused.py, 2026-08-19). The kernel
+    query-row-tiles itself when the f32 score stack would blow the 16 MB
+    scoped-VMEM limit (N=1600 at s/m slab width OOM'd whole-row in
+    production, 2026-08-19); only shapes where no tiling fits fall back.
 
     "pallas" (opt-in via YOLO_ATTN_IMPL=pallas) is the older per-(batch,
     head) kernel fed by a host-side pack: measured 2.1x slower than XLA
@@ -224,7 +225,14 @@ def _attn_impl(qkv, s, training: bool, impl: str, n: int) -> str:
     env = os.environ.get("YOLO_ATTN_IMPL", "")
     if env in ("xla", "pallas", "fused"):
         return env
-    return "fused" if n * n * 4 <= 12 * 2**20 else "xla"
+    # shape-aware VMEM gate: the kernel row-tiles itself down to the scoped
+    # limit (ops/pallas/attention_fused.pick_q_rows); only shapes where no
+    # tiling fits (huge N x wide slab) fall back to XLA. The old N-only
+    # gate (N^2*4 <= 12M) let s/m @1280 whole-batch through to a compile
+    # OOM: the slab/out pipeline buffers also count against scoped VMEM.
+    from yolo_infer_tpu.ops.pallas.attention_fused import pick_q_rows
+
+    return "fused" if pick_q_rows(n, d_in, d_out) else "xla"
 
 
 def apply_attention(p, s, x, *, num_heads: int, attn_ratio: float = 0.5, training: bool = False, impl: str = "auto"):
@@ -235,7 +243,7 @@ def apply_attention(p, s, x, *, num_heads: int, attn_ratio: float = 0.5, trainin
     scale = key_dim ** -0.5
 
     qkv_raw, s1 = apply_conv(p["qkv"], s["qkv"] if s else None, x, act=False, training=training)
-    chosen = _attn_impl(qkv_raw, s, training, impl, N)
+    chosen = _attn_impl(qkv_raw, s, training, impl, N, qkv_raw.shape[-1], C)
     qkv = qkv_raw.reshape(B, N, num_heads, key_dim * 2 + head_dim)
     if chosen == "fused":
         from yolo_infer_tpu.ops.pallas.attention_fused import attention_qkv_fused_pallas
