@@ -98,15 +98,20 @@ def test_chunk_policy_guards():
     for task in ("obb", "classify", "segment"):
         assert _serve_chunk(32, "n", task, False, False) == (16, "unroll")
     assert _serve_chunk(32, "n", "pose", False, False) == (16, "scan")
-    assert _serve_chunk(64, "n", "pose", False, False) == (16, "unroll")
-    # default policy: only lane-starved batches divisible by 16
-    for b, want_chunk in ((8, False), (16, False), (32, True), (48, True), (64, True), (96, True), (128, False)):
+    # b64 chunks at n-detect ONLY (the one measured 4-chunk win, +6.6%);
+    # unmeasured non-detect n/b64 cells stay whole
+    assert _serve_chunk(64, "n", "pose", False, False)[0] == 0
+    # round-4 b64/b96 matrix (2026-08-20): chunking loses at m/l/x b64
+    # (-9.6/-21/-8%) and n/b96 (-54%) — only B == 32 chunks by default
+    for b, want_chunk in ((8, False), (16, False), (32, True), (48, False), (64, False), (96, False), (128, False)):
         c, mode = _serve_chunk(b, "m", "detect", False, False)
         engaged = bool(c) and b > c and b % c == 0
         assert engaged == want_chunk, (b, c)
         assert mode == "unroll"  # scan is the measured n-at-2-chunks exception
     assert _serve_chunk(32, "n", "detect", False, False) == (16, "scan")
     assert _serve_chunk(64, "n", "detect", False, False) == (16, "unroll")
+    for b in (48, 96):
+        assert _serve_chunk(b, "n", "detect", False, False)[0] == 0
     # s stays whole at every batch (chunk/tile matrix: chunking costs s 32%
     # at b32); the other sizes keep the chunk policy
     for b in (32, 48, 64, 96):

@@ -88,12 +88,26 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     with the tiled early stage inside the subgraphs carrying ~2x: 86.65
     without). Batches stay whole below 640.
 
-    Policy: every task, sizes n/m/l/x (NOT s; segment additionally n only);
-    chunk 16 in the lane-starved regime (32 <= B < 128, B % 16 == 0) at
-    imgsz >= 640; "scan"
-    only for the directly measured n-at-2-chunks detect/pose cases, "unroll"
-    otherwise. Env
-    overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n> (0 disables),
+    The round-4 b64/b96 matrix (tools/bench_chunk_tile_matrix.py, v5e
+    2026-08-20, default vs chunk_off, detect @640) killed the blanket
+    32<=B<128 gate — chunking LOSES everywhere past 2 chunks except n/b64:
+
+      m/b64  58.79 chunked / 53.65 whole   -> whole (-9.6% chunked)
+      l/b64  84.77 / 69.99                 -> whole (-21%)
+      x/b64  127.99 / 118.49               -> whole (-8%)
+      n/b96  30.60 / 19.85                 -> whole (-54%; 6 chunks = 6x
+             relayout boundaries, the same more-chunks-lose shape as the
+             chunk8 A/B)
+      n/b64  20.31 / 21.66 (2026-08-19)    -> chunked (+6.6%, the tiled
+             early stage carries it; chunk-without-tiling ran 40.35)
+
+    Policy: chunk 16 at B == 32 EXACTLY (2 chunks) — every task, sizes
+    n/m/l/x (NOT s; segment additionally n only) at imgsz >= 640 — plus
+    the one directly measured 4-chunk win, n/b64 detect. Unmeasured cells
+    (b48/b80/b112, non-detect n/b64) stay whole: whole is never
+    catastrophic, chunk losses are. "scan" only for the measured
+    n-at-2-chunks detect/pose cases, "unroll" otherwise. Env overrides for
+    sweeps: YOLO_TPU_SERVE_CHUNK=<n> (0 disables),
     YOLO_TPU_CHUNK_MODE=unroll|scan.
     Meshed serving keeps the batch whole (chunking would fight the GSPMD
     data-axis sharding); quantized trees keep their measured int8
@@ -114,9 +128,11 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
         return 0, "unroll"
     if task == "segment" and size != "n":
         return 0, "unroll"
-    if 32 <= batch < 128 and batch % 16 == 0:
-        mode = "scan" if (size == "n" and batch == 32 and task in ("detect", "pose")) else "unroll"
+    if batch == 32:
+        mode = "scan" if (size == "n" and task in ("detect", "pose")) else "unroll"
         return 16, (mode_env or mode)
+    if batch == 64 and size == "n" and task == "detect":
+        return 16, (mode_env or "unroll")
     return 0, "unroll"
 
 
