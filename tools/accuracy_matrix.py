@@ -114,16 +114,25 @@ def run_size(size: str, imgsz: int = 128, nc: int = 4):
     return rows
 
 
-def run_seg_half():
+def run_seg_half(imgsz: int = 128):
     """Emit the mask_mode='device_half' accuracy row (pairs the 4x-transfer
     mask-read speed lever, PERF_MATRIX seg_mask_read_half, with accuracy
     evidence). Protocol + gates live in
-    tests/test_fidelity_variants.py seg_half_metrics()."""
+    tests/test_fidelity_variants.py seg_half_metrics().
+
+    ``--imgsz`` scales the test geometry: the device_half boundary error is
+    a fixed <=1 px band, so its share of each mask shrinks linearly with
+    resolution — the 128-px gate row overstates the production-640 delta by
+    ~5x (the mAP50-95 0.068 at 128 px is scored against the full-grid mask
+    itself at the harness's smallest legal size)."""
+    import test_fidelity_map as F
+
+    F.IMGSZ = imgsz  # the numpy pipeline reads module-level geometry
     from test_fidelity_variants import seg_half_metrics
 
     m = seg_half_metrics()
     row = {
-        "size": "n", "variant": "seg_device_half_masks",
+        "size": "n", "variant": "seg_device_half_masks", "imgsz": imgsz,
         "mask_iou_vs_full_mean": round(m["iou_mean"], 4),
         "mask_iou_vs_full_min": round(m["iou_min"], 4),
         "mask_map50_delta_vs_full": round(abs(m["mm_full"]["map50"] - m["mm_half"]["map50"]), 4),
@@ -145,7 +154,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     rows = []
     if args.seg_half:
-        rows = run_seg_half()
+        rows = run_seg_half(args.imgsz)
         if args.out:
             Path(args.out).write_text(json.dumps({"rows": rows}, indent=1))
         return 0
