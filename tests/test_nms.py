@@ -287,3 +287,65 @@ def test_rotated_multi_label_topc_exact_when_within_cap():
     capped = batched_rotated_nms(*args, **kw, multi_label_topc=6)
     for k in full:
         np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(capped[k]), err_msg=k)
+
+
+def test_anchor_rows_from_idx_matches_make_anchors():
+    """The arithmetic anchor reconstruction used by the select-then-decode
+    tail must match the make_anchors table row-for-row at every index."""
+    from yolo_infer_tpu.ops.decode import anchor_rows_from_idx, make_anchors
+
+    feat_shapes, strides = [(80, 80), (40, 40), (20, 20)], (8, 16, 32)
+    ap, st = make_anchors(feat_shapes, strides)
+    a = ap.shape[0]
+    idx = jnp.arange(a, dtype=jnp.int32)[None]  # (1, A): every row
+    ap2, st2 = anchor_rows_from_idx(idx, feat_shapes, strides)
+    np.testing.assert_array_equal(np.asarray(ap2[0]), np.asarray(ap))
+    np.testing.assert_array_equal(np.asarray(st2[0]), np.asarray(st))
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_seldec_matches_presel_path(seed):
+    """Select-then-decode detect tail == decode-everything-then-presel, on
+    random head maps (same candidate selection, same bf16-DFL box math)."""
+    from yolo_infer_tpu.ops.decode import decode_for_nms, decode_scores_raw
+    from yolo_infer_tpu.ops.nms import batched_nms_presel, batched_nms_seldec
+
+    rng = np.random.default_rng(seed)
+    nc, reg_max, strides = 80, 16, (8, 16, 32)
+    feat_shapes = ((16, 16), (8, 8), (4, 4))
+    feats = [jnp.asarray(rng.normal(0, 2, (2, h, w, 4 * reg_max + nc)).astype(np.float32))
+             for h, w in feat_shapes]
+    boxes, best, cls = decode_for_nms(feats, nc, reg_max, strides)
+    ref = batched_nms_presel(boxes, best, cls, 0.25, 0.45, pre_topk=128, max_det=50)
+    best2, cls2, dist_flat = decode_scores_raw(feats, nc, reg_max)
+    got = batched_nms_seldec(dist_flat, best2, cls2, 0.25, 0.45,
+                             feat_shapes=feat_shapes, strides=strides,
+                             reg_max=reg_max, pre_topk=128, max_det=50)
+    np.testing.assert_array_equal(np.asarray(ref["num"]), np.asarray(got["num"]))
+    for b in range(2):
+        n = int(ref["num"][b])
+        np.testing.assert_allclose(np.asarray(ref["boxes"][b, :n]), np.asarray(got["boxes"][b, :n]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ref["scores"][b, :n]), np.asarray(got["scores"][b, :n]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ref["classes"][b, :n]), np.asarray(got["classes"][b, :n]))
+        np.testing.assert_array_equal(np.asarray(ref["anchor_idx"][b, :n]), np.asarray(got["anchor_idx"][b, :n]))
+
+
+def test_seldec_predictor_env_toggle(monkeypatch):
+    """The env-gated seldec serving path produces the same Results as the
+    default path through the full Predictor program."""
+    from yolo_infer_tpu.core.model import YOLO11Model
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    imgs = (np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3))).astype(np.uint8)
+    m1 = YOLO11Model("yolo11n")
+    # random-init cls biases put scores ~1e-5 (CLAUDE.md): use a tiny conf
+    # so the comparison actually carries boxes
+    ref = m1.predictor.predict(imgs, conf=1e-7, iou=0.5, imgsz=64)
+    assert sum(len(r) for r in ref) > 0
+    monkeypatch.setenv("YOLO_TPU_DETECT_SELDEC", "1")
+    p2 = Predictor(m1.predictor.params, m1.spec)  # same params, fresh programs
+    got = p2.predict(imgs, conf=1e-7, iou=0.5, imgsz=64)
+    for r, g in zip(ref, got):
+        assert len(r) == len(g)
+        np.testing.assert_allclose(r.boxes, g.boxes, atol=1e-3)
+        np.testing.assert_array_equal(r.classes, g.classes)

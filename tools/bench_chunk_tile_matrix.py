@@ -57,12 +57,20 @@ def main():
         # on the table
         "chunk16_unroll": {"YOLO_TPU_SERVE_CHUNK": "16", "YOLO_TPU_CHUNK_MODE": "unroll"},
         "chunk16_scan": {"YOLO_TPU_SERVE_CHUNK": "16", "YOLO_TPU_CHUNK_MODE": "scan"},
+        # round-5 detect-tail A/B: select-then-decode (DFL on the pre_topk
+        # selected rows only) and a halved candidate pool (256² IoU keep
+        # kernel instead of 512²) — independently and stacked
+        "seldec": {"YOLO_TPU_DETECT_SELDEC": "1"},
+        "k256": {"YOLO_TPU_PRE_TOPK": "256"},
+        "seldec_k256": {"YOLO_TPU_DETECT_SELDEC": "1", "YOLO_TPU_PRE_TOPK": "256"},
+        "seldec_off": {"YOLO_TPU_DETECT_SELDEC": "0"},
     }
     variants = [
         (v, all_variants[v])
         for v in os.environ.get("VARIANTS", "default,chunk_off,chunk_no_tile").split(",")
     ]
-    gated = ("YOLO_TPU_SERVE_CHUNK", "YOLO_TPU_CHUNK_MODE", "YOLO_TPU_EARLY_TILED")
+    gated = ("YOLO_TPU_SERVE_CHUNK", "YOLO_TPU_CHUNK_MODE", "YOLO_TPU_EARLY_TILED",
+             "YOLO_TPU_DETECT_SELDEC", "YOLO_TPU_PRE_TOPK")
 
     for size, batch in configs:
         rows = {}

@@ -136,6 +136,30 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     return 0, "unroll"
 
 
+def _serve_pre_topk(default: int) -> int:
+    """Serving-path candidate-pool cap, env-overridable for hardware A/Bs
+    (``YOLO_TPU_PRE_TOPK``). Read at trace time like the chunk knobs."""
+    import os
+
+    env = os.environ.get("YOLO_TPU_PRE_TOPK", "")
+    return int(env) if env else default
+
+
+def _detect_seldec(meshed: bool) -> bool:
+    """Whether the detect speed path uses select-then-decode
+    (``YOLO_TPU_DETECT_SELDEC`` = 1/0 overrides; default off pending the
+    hardware A/B — flip here once measured). Never under a mesh: the one-hot
+    row select has no natural GSPMD partitioning rule."""
+    import os
+
+    if meshed:
+        return False
+    env = os.environ.get("YOLO_TPU_DETECT_SELDEC", "")
+    if env:
+        return env == "1"
+    return False
+
+
 @dataclass
 class Results:
     """Per-image detection results in original-image pixel coordinates."""
@@ -482,18 +506,37 @@ class Predictor:
             else:
                 # speed path: per-level class reduction (no (B,A,nc) tensor),
                 # bf16 DFL, single-label NMS with a smaller candidate pool
-                from yolo_infer_tpu.ops.decode import decode_for_nms
-                from yolo_infer_tpu.ops.nms import batched_nms_presel
+                impl = "xla" if self.mesh is not None else "auto"
+                serve_topk = min(_serve_pre_topk(pre_topk), 512)
+                if _detect_seldec(self.mesh is not None):
+                    # select-then-decode: DFL runs on the serve_topk selected
+                    # rows only, not all A anchors (ops/nms.py
+                    # batched_nms_seldec; the pose/seg tails already decode
+                    # this way). Gated off under a mesh: the one-hot row
+                    # select has no natural GSPMD partitioning.
+                    from yolo_infer_tpu.ops.decode import decode_scores_raw
+                    from yolo_infer_tpu.ops.nms import batched_nms_seldec
 
-                boxes, best, cls = decode_for_nms(out["feats"], spec.nc, spec.reg_max, spec.strides)
-                # meshed serving keeps the GSPMD-partitionable XLA NMS; the
-                # single-chip path uses the fused Pallas keep kernel + exact
-                # ApproxTopK (ops/nms.py nms_keep_mask / _exact_topk)
-                dets = batched_nms_presel(
-                    boxes, best, cls, conf, iou,
-                    pre_topk=min(pre_topk, 512), max_det=max_det,
-                    impl="xla" if self.mesh is not None else "auto",
-                )
+                    best, cls, dist_flat = decode_scores_raw(out["feats"], spec.nc, spec.reg_max)
+                    dets = batched_nms_seldec(
+                        dist_flat, best, cls, conf, iou,
+                        feat_shapes=tuple((f.shape[1], f.shape[2]) for f in out["feats"]),
+                        strides=tuple(spec.strides), reg_max=spec.reg_max,
+                        pre_topk=serve_topk, max_det=max_det, impl=impl,
+                    )
+                else:
+                    from yolo_infer_tpu.ops.decode import decode_for_nms
+                    from yolo_infer_tpu.ops.nms import batched_nms_presel
+
+                    boxes, best, cls = decode_for_nms(out["feats"], spec.nc, spec.reg_max, spec.strides)
+                    # meshed serving keeps the GSPMD-partitionable XLA NMS;
+                    # the single-chip path uses the fused Pallas keep kernel
+                    # + exact ApproxTopK (ops/nms.py nms_keep_mask /
+                    # _exact_topk)
+                    dets = batched_nms_presel(
+                        boxes, best, cls, conf, iou,
+                        pre_topk=serve_topk, max_det=max_det, impl=impl,
+                    )
             if spec.task == "pose":
                 from yolo_infer_tpu.ops.select import select_anchor_rows
 

@@ -104,6 +104,59 @@ def decode_for_nms(
     return boxes, best, cls
 
 
+def decode_scores_raw(
+    feats: List[jnp.ndarray],
+    nc: int,
+    reg_max: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-level class reduction with NO box decode.
+
+    -> (best f32 (B, A) sigmoided, cls f32 (B, A), box_dist (B, A, 4*reg_max)
+    in the feats' raw dtype). Front half of the select-then-decode serving
+    tail (ops.nms.batched_nms_seldec): the DFL expectation — the b32 device
+    trace's divide/multiply family — runs later, on the pre_topk selected
+    rows only, instead of on all A anchors here.
+    """
+    best_l, cls_l, dist_l = [], [], []
+    for f in feats:
+        b, h, w, _ = f.shape
+        dist_l.append(f[..., : 4 * reg_max].reshape(b, h * w, 4 * reg_max))
+        cls_logits = f[..., 4 * reg_max :]
+        best_l.append(jnp.max(cls_logits, axis=-1).reshape(b, h * w))
+        cls_l.append(jnp.argmax(cls_logits, axis=-1).reshape(b, h * w))
+    best = jax.nn.sigmoid(jnp.concatenate(best_l, axis=1).astype(jnp.float32))
+    cls = jnp.concatenate(cls_l, axis=1).astype(jnp.float32)
+    return best, cls, jnp.concatenate(dist_l, axis=1)
+
+
+def anchor_rows_from_idx(
+    idx: jnp.ndarray,
+    feat_shapes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    grid_cell_offset: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Anchor points/strides for selected flat-grid indices, arithmetically.
+
+    idx (B, K) int32 into the concatenated per-level anchor grid ->
+    (anchor_points (B, K, 2) f32, strides (B, K, 1) f32). Pure vector math
+    (level bucketing + divmod) — no gather of the (A, 3) table, and exact in
+    f32 at any imgsz (a bf16 row-select of the table would corrupt anchor
+    coords past grid 128). Matches make_anchors row-for-row (tests pin it).
+    """
+    x = jnp.zeros(idx.shape, jnp.float32)
+    y = jnp.zeros(idx.shape, jnp.float32)
+    st = jnp.zeros(idx.shape, jnp.float32)
+    base = 0
+    for (h, w), s in zip(feat_shapes, strides):
+        in_level = (idx >= base) & (idx < base + h * w)
+        li = idx - base
+        x = jnp.where(in_level, (li % w).astype(jnp.float32) + grid_cell_offset, x)
+        y = jnp.where(in_level, (li // w).astype(jnp.float32) + grid_cell_offset, y)
+        st = jnp.where(in_level, float(s), st)
+        base += h * w
+    return jnp.stack([x, y], axis=-1), st[..., None]
+
+
 def decode_detections(
     feats: List[jnp.ndarray],
     nc: int,

@@ -274,12 +274,20 @@ def batched_nms_presel(
     boxes = boxes.astype(jnp.float32)
     best = best.astype(jnp.float32)
     cls = cls.astype(jnp.float32)
-    b, a = best.shape
+    a = best.shape[1]
     k = min(pre_topk, a)
     cand = jnp.where(best > conf_thres, best, -1.0)
     top_scores, top_idx = _exact_topk(cand, k, impl)
     cboxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     ccls = jnp.take_along_axis(cls, top_idx, axis=1)
+    return _presel_finish(cboxes, ccls, top_scores, top_idx, iou_thres,
+                          max_det=max_det, class_aware=class_aware, impl=impl)
+
+
+def _presel_finish(cboxes, ccls, top_scores, top_idx, iou_thres, *, max_det, class_aware, impl):
+    """Shared back half of the single-label NMS paths: keep-mask over the
+    score-sorted (B, K) candidates, then the fixed max_det output layout."""
+    b, k = top_scores.shape
     valid = top_scores > 0
     sup_boxes = cboxes + (ccls[..., None] * MAX_WH if class_aware else 0.0)
     kept = nms_keep_mask(sup_boxes, valid, iou_thres, k, impl)
@@ -301,6 +309,53 @@ def batched_nms_presel(
         "num": jnp.sum(out_valid.astype(jnp.int32), axis=1),
         "anchor_idx": jnp.where(out_valid, jnp.take_along_axis(top_idx, sel, axis=1), 0).astype(jnp.int32),
     }
+
+
+@partial(jax.jit, static_argnames=("feat_shapes", "strides", "reg_max", "pre_topk", "max_det", "class_aware", "impl"))
+def batched_nms_seldec(
+    box_dist: jnp.ndarray,  # (B, A, 4*reg_max) RAW head dist logits (any float dtype)
+    best: jnp.ndarray,  # (B, A) best-class scores (sigmoided)
+    cls: jnp.ndarray,  # (B, A) best-class ids (float)
+    conf_thres=0.25,
+    iou_thres=0.45,
+    *,
+    feat_shapes,  # ((h, w), ...) per level — static
+    strides=(8, 16, 32),
+    reg_max: int = 16,
+    pre_topk: int = 512,
+    max_det: int = 300,
+    class_aware: bool = True,
+    impl: str = "auto",
+) -> Dict[str, jnp.ndarray]:
+    """Select-then-decode single-label NMS (pairs with decode_scores_raw).
+
+    Candidate selection runs on scores alone; the DFL softmax-expectation —
+    the divide/multiply family the round-4 b32 device trace attributed
+    ~0.67 ms/chunk to when it ran over all A anchors — decodes only the
+    pre_topk selected rows. The (B, A, 64) raw dist rows are pulled with the
+    one-hot MXU contraction (ops/select.py: a 64-wide take_along_axis is the
+    scalar-gather regime), anchor points/strides come from pure index math
+    (ops.decode.anchor_rows_from_idx), and box math matches decode_for_nms:
+    bf16 DFL expectation, f32 dist2bbox-times-stride.
+    """
+    from yolo_infer_tpu.ops.decode import anchor_rows_from_idx, dfl_expectation, dist2bbox
+    from yolo_infer_tpu.ops.select import select_anchor_rows
+
+    conf_thres = jnp.asarray(conf_thres, jnp.float32)
+    iou_thres = jnp.asarray(iou_thres, jnp.float32)
+    best = best.astype(jnp.float32)
+    cls = cls.astype(jnp.float32)
+    a = best.shape[1]
+    k = min(pre_topk, a)
+    cand = jnp.where(best > conf_thres, best, -1.0)
+    top_scores, top_idx = _exact_topk(cand, k, impl)
+    sel_dist = select_anchor_rows(box_dist, top_idx)  # (B, K, 4*reg_max)
+    ap, st = anchor_rows_from_idx(top_idx, feat_shapes, strides)
+    dist = dfl_expectation(sel_dist, reg_max, dtype=sel_dist.dtype)
+    cboxes = dist2bbox(dist, ap) * st
+    ccls = jnp.take_along_axis(cls, top_idx, axis=1)
+    return _presel_finish(cboxes, ccls, top_scores, top_idx, iou_thres,
+                          max_det=max_det, class_aware=class_aware, impl=impl)
 
 
 @partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware", "impl"))
