@@ -113,6 +113,39 @@ def main() -> None:
 
     _checkpoint()  # the headline survives even if the first extra wedges
 
+    def _coco_gate():
+        # Opportunistic official-weights gate (VERDICT r4 item 8): attempt
+        # tools/fetch_and_verify.py --limit 32. Offline it probes for ~10 s
+        # and reports {"status": "skipped_offline"}; the first NETWORKED
+        # environment proves the 0.1 COCO gate with zero manual steps.
+        # Runs as a CPU-only child (PYTHONPATH without the axon plugin) so a
+        # second process never dials the TPU this process holds.
+        import subprocess
+
+        here_dir = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ, PYTHONPATH=here_dir, JAX_PLATFORMS="cpu")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here_dir, "tools", "fetch_and_verify.py"),
+                 "--model", "yolo11n", "--limit", "32"],
+                capture_output=True, text=True, timeout=900, env=env)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+            return {"status": "no_json_output", "rc": proc.returncode,
+                    "stderr": proc.stderr[-120:]}
+        except subprocess.TimeoutExpired:
+            return {"status": "timeout"}
+
+    if os.environ.get("BENCH_COCO_GATE", "1") == "1":
+        try:
+            extras["coco_gate"] = _coco_gate()
+        except Exception as e:  # noqa: BLE001
+            extras["coco_gate"] = {"status": "error", "error": str(e)[:120]}
+        _checkpoint()
+
     if full:
         # ---- extras, MOST VALUABLE FIRST (budget drops the tail, not these)
 

@@ -165,3 +165,27 @@ def test_convert_to_file_roundtrip(torch_nano, tmp_path):
     assert len(a) == len(b)
     if len(a):
         np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+
+
+@pytest.mark.parametrize("task,size", [("detect", "n"), ("segment", "n"), ("detect", "m")])
+def test_export_state_dict_roundtrip(task, size):
+    """The probe-based inverse converter reproduces the original torch state
+    dict exactly: sd -> convert_state_dict -> export_state_dict == sd.
+    (The trained-golden fidelity floor rides this inverse — VERDICT r4 #4.)"""
+    from golden_common import golden_state_dict
+
+    from yolo_infer_tpu.models.convert import convert_state_dict, export_state_dict
+
+    spec = build_spec(task, size, nc=4)
+    tmodel = TorchYOLO11(spec).eval()
+    template = {k: v.detach().cpu().numpy() for k, v in tmodel.state_dict().items()}
+    names, shapes = zip(*[(k, tuple(v.shape)) for k, v in template.items()])
+    sd = golden_state_dict(names, shapes)
+    params, state = convert_state_dict(sd, spec)
+    back = export_state_dict(params, state, spec, template)
+    assert set(back) == set(template)
+    for k in template:
+        if "num_batches_tracked" in k or "dfl" in k:
+            np.testing.assert_array_equal(back[k], template[k])  # template fallback
+        else:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)

@@ -121,7 +121,7 @@ def test_variant_fidelity_deltas():
     print("fidelity deltas:", {n: {k: round(v, 4) for k, v in d.items()} for n, d in deltas.items()})
 
 
-def seg_half_metrics():
+def seg_half_metrics(imgsz=None):
     """Measure mask_mode='device_half' fidelity vs the full-grid mode.
 
     Shared by test_seg_device_half_mask_fidelity (gates) and
@@ -129,11 +129,21 @@ def seg_half_metrics():
     Returns {iou_mean, iou_min, n_dets, mm_torch, mm_full, mm_half} where
     the mm_* are mask-mAP dicts under the coco-matched AP oracle on
     planted GT (the exact seg protocol of test_fidelity_map).
+
+    ``imgsz`` overrides the protocol geometry (the resolution-scaling rows
+    of tools/accuracy_matrix.py); the run asserts the measured mask
+    resolution matches the request, so a caller whose override silently
+    no-ops (e.g. stale import order) fails loudly instead of emitting a
+    mislabeled row (ADVICE r4).
     """
+    import test_fidelity_map as F
+
     from yolo_infer_tpu.core.ap_oracle import oracle_map
     from yolo_infer_tpu.core.metrics import mask_iou_matrix
     from yolo_infer_tpu.core.predictor import Predictor
 
+    if imgsz is not None:
+        F.IMGSZ = imgsz
     tmodel, predictor, spec = _build_pair("segment")
     imgs = _images()
     conf, iou_thres = 0.55, 0.5
@@ -149,6 +159,9 @@ def seg_half_metrics():
         a, b = pf["masks"], ph["masks"]
         assert a.shape == b.shape, (a.shape, b.shape)
         if len(a):
+            # geometry sanity: the measured mask resolution must match the
+            # requested protocol imgsz (square test images -> full-frame crop)
+            assert a.shape[1:] == (F.IMGSZ, F.IMGSZ), (a.shape, F.IMGSZ)
             ious += list(np.diag(np.asarray(mask_iou_matrix(
                 a.astype(np.float32), b.astype(np.float32)))))
 
@@ -202,3 +215,32 @@ def test_seg_device_half_mask_fidelity():
     # 128-px test size flips those matches). Measured: delta 0.068 at 128;
     # serving at 640 has a 5x smaller relative boundary error.
     assert abs(mm_full["map"] - mm_half["map"]) <= 0.08, (mm_full, mm_half)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("YOLO_TRAINED_GOLDEN", "") != "1",
+    reason="trained-golden certification trains yolo11m (heavy one-off): set "
+           "YOLO_TRAINED_GOLDEN=1; recorded rows live in ACCURACY_MATRIX.json",
+)
+def test_trained_golden_m_floor():
+    """The m-scale fidelity floor on TRAINED golden weights (VERDICT r4 #4).
+
+    Random golden weights put m scores in a ranking-chatter regime (f32
+    two-pipeline floor 0.0275 mAP50, r4 ACCURACY_MATRIX notes) — the 0.1
+    COCO-parity gate (reference core/validator.py:339-351) could only be
+    certified at n. This overfit-trains m, runs the torch reference through
+    the exact inverse converter (models/convert.py export_state_dict), and
+    gates: floor ~0, production variants within the 0.1 gate AT M.
+    """
+    import os
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from accuracy_matrix import run_trained
+
+    rows = run_trained("m", epochs=int(os.environ.get("YOLO_TRAINED_EPOCHS", "400")))
+    by = {r["variant"]: r for r in rows}
+    assert by["f32"]["map50_delta"] <= 0.005, by["f32"]  # the two-pipeline FLOOR
+    assert by["bf16"]["map50_delta"] <= 0.1, by["bf16"]  # the acceptance gate, at m
+    assert by["int8_static8"]["map50_delta"] <= 0.1, by["int8_static8"]

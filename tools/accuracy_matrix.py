@@ -34,19 +34,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 def run_size(size: str, imgsz: int = 128, nc: int = 4):
     import torch
 
-    import jax.numpy as jnp
-
     import test_fidelity_map as F
     from golden_common import golden_state_dict
     from torch_ref import TorchYOLO11
 
-    from yolo_infer_tpu.core.model import YOLO11Model
-    from yolo_infer_tpu.core.predictor import Predictor
     from yolo_infer_tpu.models import build_spec
     from yolo_infer_tpu.models.convert import convert_state_dict
     from yolo_infer_tpu.models.yolo11 import fold_model
-    from yolo_infer_tpu.optimization.quantization.quantizers import PostTrainingQuantizer
-    from yolo_infer_tpu.optimization.surgery import slim_model
 
     F.IMGSZ = imgsz  # the numpy pipeline reads module-level geometry
     spec = build_spec("detect", size, nc=nc)
@@ -56,8 +50,23 @@ def run_size(size: str, imgsz: int = 128, nc: int = 4):
     tmodel.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
     params, state = convert_state_dict(sd, spec)
     deploy = fold_model(params, state)
+    return _variant_rows(size, spec, deploy, tmodel, F._images(), nc=nc, golden="synthetic",
+                         calib_imgs=F._images(seed=21)[:2])
 
-    imgs = F._images()
+
+def _variant_rows(size, spec, deploy, tmodel, imgs, nc, golden, calib_imgs):
+    """Shared scoring core of the planted-GT two-pipeline protocol: plant GT
+    from the torch pipeline's confident detections, score every variant
+    pipeline, emit |delta| rows (plus the f32 two-pipeline FLOOR row)."""
+    import jax.numpy as jnp
+
+    import test_fidelity_map as F
+
+    from yolo_infer_tpu.core.model import YOLO11Model
+    from yolo_infer_tpu.core.predictor import Predictor
+    from yolo_infer_tpu.optimization.quantization.quantizers import PostTrainingQuantizer
+    from yolo_infer_tpu.optimization.surgery import slim_model
+
     iou = 0.5
     # adaptive planting: score distributions differ per size (golden m
     # weights peak lower than n); walk the threshold down until every image
@@ -71,15 +80,15 @@ def run_size(size: str, imgsz: int = 128, nc: int = 4):
     m_ref = F._score_boxes(F._torch_detect_pipeline(tmodel, imgs, eval_conf, iou), gts)
     if m_ref["map50"] < 0.5:
         raise RuntimeError(f"size {size}: planted-GT reference mAP50 {m_ref['map50']:.3f} — protocol breakdown")
-    print(json.dumps({"size": size, "plant_conf": plant_conf, "eval_conf": eval_conf,
-                      "ref_map50": round(m_ref["map50"], 4)}), flush=True)
+    print(json.dumps({"size": size, "golden": golden, "plant_conf": plant_conf,
+                      "eval_conf": eval_conf, "ref_map50": round(m_ref["map50"], 4)}), flush=True)
 
     def jmap(predictor):
         return F._score_boxes(F._jax_pipeline(predictor, imgs, eval_conf, iou, "detect"), gts)
 
     base = YOLO11Model.from_params(deploy, task="detect", size=size, nc=nc,
                                    fused=True, compute_dtype=jnp.float32)
-    calib = [im[None] for im in F._images(seed=21)[:2]]
+    calib = [im[None] for im in calib_imgs]
 
     def ptq(min_channels=None):
         q = PostTrainingQuantizer(base, {"imgsz": imgsz})
@@ -105,13 +114,122 @@ def run_size(size: str, imgsz: int = 128, nc: int = 4):
     for name, pred in variants.items():
         m_v = jmap(pred)
         rows.append({
-            "size": size, "variant": name,
+            "size": size, "variant": name, "golden": golden,
             "map50_delta": round(abs(m_ref["map50"] - m_v["map50"]), 4),
             "map_delta": round(abs(m_ref["map"] - m_v["map"]), 4),
             "map75_delta": round(abs(m_ref["map75"] - m_v["map75"]), 4),
         })
         print(json.dumps(rows[-1]), flush=True)
     return rows
+
+
+def _box_scenes(imgsz: int, nc: int, n_images: int, seed: int):
+    """Disjoint colored-rectangle scenes (color == class) + YOLO label lines.
+
+    One box per 2x2 grid cell with jitter, so labels never occlude each
+    other — the distribution the trained-golden protocol both trains and
+    evaluates on."""
+    import cv2
+
+    palette = [(230, 40, 40), (40, 200, 60), (40, 80, 230), (240, 220, 50)]
+    rng = np.random.default_rng(seed)
+    imgs, labels = [], []
+    half = imgsz // 2
+    for _ in range(n_images):
+        img = np.full((imgsz, imgsz, 3), 110, np.uint8)
+        lines = []
+        for gy in range(2):
+            for gx in range(2):
+                if rng.uniform() < 0.15 and len(lines) >= 1:
+                    continue  # occasional empty cell (keep >=1 box per image)
+                x0 = gx * half + int(rng.integers(3, half // 4))
+                y0 = gy * half + int(rng.integers(3, half // 4))
+                w = int(rng.integers(half // 3, half - half // 4))
+                h = int(rng.integers(half // 3, half - half // 4))
+                x1, y1 = min(x0 + w, (gx + 1) * half - 2), min(y0 + h, (gy + 1) * half - 2)
+                c = int(rng.integers(0, nc))
+                cv2.rectangle(img, (x0, y0), (x1, y1), palette[c % len(palette)], -1)
+                lines.append(f"{c} {(x0 + x1) / 2 / imgsz} {(y0 + y1) / 2 / imgsz} "
+                             f"{(x1 - x0) / imgsz} {(y1 - y0) / imgsz}")
+        imgs.append(img)
+        labels.append(lines)
+    return imgs, labels
+
+
+def run_trained(size: str, imgsz: int = 128, nc: int = 4, epochs: int = 400,
+                workdir: str = "/tmp/trained_golden"):
+    """The trained-golden fidelity floor (VERDICT r4 item 4).
+
+    Random golden weights put m-scale scores in a low flat regime where
+    ranking chatter dominates (two-pipeline f32 floor 0.0275 mAP50 —
+    ACCURACY_MATRIX r4 notes), so the 0.1 gate could only be certified at n.
+    This overfit-trains yolo11{size} on disjoint colored-box scenes (the
+    overfit_check recipe), pushes the TRAINED jax weights through the exact
+    inverse converter (models/convert.py export_state_dict) into the torch
+    reference pipeline, and re-runs the planted-GT protocol on held-out
+    scenes of the same distribution — decisive scores, floor ~= 0.
+
+    Reference parity: the mAP-within-0.1 acceptance protocol of reference
+    core/validator.py:339-351, now certifiable at m."""
+    import shutil
+    from pathlib import Path as _P
+
+    import cv2
+    import torch
+    import yaml
+
+    import jax.numpy as jnp
+
+    import test_fidelity_map as F
+    from torch_ref import TorchYOLO11
+
+    from yolo_infer_tpu.core.model import YOLO11Model
+    from yolo_infer_tpu.core.trainer import TrainingConfig, YOLO11Trainer
+    from yolo_infer_tpu.core.validator import YOLO11Validator
+    from yolo_infer_tpu.models.convert import export_state_dict
+    from yolo_infer_tpu.models.yolo11 import fold_model
+
+    root = _P(workdir) / size
+    shutil.rmtree(root, ignore_errors=True)
+    for split, seed, n in (("train", 0, 8), ("val", 1, 8)):
+        (root / f"images/{split}").mkdir(parents=True, exist_ok=True)
+        (root / f"labels/{split}").mkdir(parents=True, exist_ok=True)
+        imgs, labels = _box_scenes(imgsz, nc, n, seed)
+        for i, (img, lines) in enumerate(zip(imgs, labels)):
+            cv2.imwrite(str(root / f"images/{split}/i{i}.jpg"), img)
+            (root / f"labels/{split}/i{i}.txt").write_text("\n".join(lines) + "\n")
+    (root / "data.yaml").write_text(yaml.safe_dump(
+        {"path": str(root), "train": "images/train", "val": "images/val",
+         "names": {i: f"c{i}" for i in range(nc)}, "nc": nc}))
+
+    model = YOLO11Model(f"yolo11{size}", nc=nc, compute_dtype=jnp.float32)
+    cfg = TrainingConfig(
+        data=str(root / "data.yaml"), epochs=epochs, batch=8, imgsz=imgsz,
+        max_boxes=8, val=False, mosaic=0.0, lr0=0.01, warmup_epochs=3,
+        project=str(root / "runs"), name="overfit", exist_ok=True, patience=0,
+    )
+    YOLO11Trainer(model=model, config=cfg).train()
+    res = YOLO11Validator(model=model, output_dir=root / "val_out").validate(
+        str(root / "data.yaml"), imgsz=imgsz, batch=8, conf=0.001, verbose=False)
+    train_map50 = res["metrics"]["mAP50"]
+    print(json.dumps({"size": size, "golden": "trained", "epochs": epochs,
+                      "train_val_mAP50": round(train_map50, 4)}), flush=True)
+    if train_map50 < 0.9:
+        raise RuntimeError(f"trained-golden {size}: overfit mAP50 {train_map50:.3f} < 0.9 — "
+                           "weights not decisive enough for a clean floor")
+
+    spec = model.spec
+    tmodel = TorchYOLO11(spec).eval()
+    template = {k: v.detach().cpu().numpy() for k, v in tmodel.state_dict().items()}
+    sd = export_state_dict(model.params, model.state, spec, template)
+    tmodel.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()})
+
+    F.IMGSZ = imgsz
+    test_imgs, _ = _box_scenes(imgsz, nc, 4, seed=7)
+    calib_imgs, _ = _box_scenes(imgsz, nc, 2, seed=21)
+    deploy = fold_model(model.params, model.state)
+    return _variant_rows(size, spec, deploy, tmodel, test_imgs, nc=nc,
+                         golden="trained", calib_imgs=calib_imgs)
 
 
 def run_seg_half(imgsz: int = 128):
@@ -121,18 +239,22 @@ def run_seg_half(imgsz: int = 128):
     tests/test_fidelity_variants.py seg_half_metrics().
 
     ``--imgsz`` scales the test geometry: the device_half boundary error is
-    a fixed <=1 px band, so its share of each mask shrinks linearly with
-    resolution — the 128-px gate row overstates the production-640 delta by
-    ~5x (the mAP50-95 0.068 at 128 px is scored against the full-grid mask
-    itself at the harness's smallest legal size)."""
-    import test_fidelity_map as F
-
-    F.IMGSZ = imgsz  # the numpy pipeline reads module-level geometry
+    a fixed <=1 px band, so its per-mask share is ~5x thinner at production
+    640 than at the 128-px gate row; the measured delta shrink is SUB-linear
+    (mAP50-95 0.068 at 128 -> 0.045 at 256 for a 2x step — ADVICE r4), so
+    the 640 delta is bounded by, not proportional to, the band ratio.
+    (The 128-px 0.068 is scored against the full-grid mask itself at the
+    harness's smallest legal size.)"""
     from test_fidelity_variants import seg_half_metrics
 
-    m = seg_half_metrics()
+    # imgsz is passed EXPLICITLY (seg_half_metrics sets the module geometry
+    # itself and asserts the measured mask resolution matches — a silently
+    # ignored override fails instead of emitting a mislabeled row)
+    m = seg_half_metrics(imgsz=imgsz)
     row = {
-        "size": "n", "variant": "seg_device_half_masks", "imgsz": imgsz,
+        # key name matches the hand-recorded PERF_MATRIX rows ("imgsz_test")
+        # so tool output can be copied verbatim (ADVICE r4)
+        "size": "n", "variant": "seg_device_half_masks", "imgsz_test": imgsz,
         "mask_iou_vs_full_mean": round(m["iou_mean"], 4),
         "mask_iou_vs_full_min": round(m["iou_min"], 4),
         "mask_map50_delta_vs_full": round(abs(m["mm_full"]["map50"] - m["mm_half"]["map50"]), 4),
@@ -150,6 +272,11 @@ def main(argv=None) -> int:
     ap.add_argument("--imgsz", type=int, default=128)
     ap.add_argument("--seg-half", action="store_true",
                     help="emit only the segment device_half mask accuracy row")
+    ap.add_argument("--trained", action="store_true",
+                    help="trained-golden protocol: overfit-train each size on box "
+                         "scenes, run the torch reference through the inverse "
+                         "converter, floor ~= 0 at every size (VERDICT r4 item 4)")
+    ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--out", default=None, help="write rows JSON here")
     args = ap.parse_args(argv)
     rows = []
@@ -159,11 +286,16 @@ def main(argv=None) -> int:
             Path(args.out).write_text(json.dumps({"rows": rows}, indent=1))
         return 0
     for size in args.sizes.split(","):
-        rows += run_size(size.strip(), args.imgsz)
+        if args.trained:
+            rows += run_trained(size.strip(), args.imgsz, epochs=args.epochs)
+        else:
+            rows += run_size(size.strip(), args.imgsz)
     out = {
-        "protocol": "planted-GT two-pipeline fidelity (tests/test_fidelity_map.py), "
-                    "GT planted at conf 0.55 from the torch pipeline, all pipelines "
-                    "evaluated at conf 0.25, AP oracle, synthetic golden weights",
+        "protocol": ("planted-GT two-pipeline fidelity (tests/test_fidelity_map.py), "
+                     "adaptive plant conf, AP oracle; golden weights = "
+                     + ("overfit-TRAINED checkpoints via the exact inverse converter "
+                        "(decisive scores, floor ~= 0 at every size)" if args.trained
+                        else "synthetic deterministic random")),
         "rows": rows,
     }
     if args.out:

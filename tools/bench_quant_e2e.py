@@ -31,6 +31,11 @@ def main():
         q = PostTrainingQuantizer(model, {"imgsz": imgsz})
         q.set_calibration_data([rng.integers(0, 255, (2, imgsz, imgsz, 3), dtype=np.uint8) for _ in range(2)])
         qmodel = q.optimize()
+        if os.environ.get("MIN_CHANNELS", ""):
+            # eligibility-threshold sweep (r5: is C=96 int8-profitable at
+            # x/b128? the boundary sweep only measured 64 and 128)
+            qmodel.quant_min_channels = int(os.environ["MIN_CHANNELS"])
+            qmodel.invalidate()
         weight_only = os.environ.get("WEIGHT_ONLY", "0") == "1"
         for batch in batches:
             bf = model.benchmark(imgsz=imgsz, batch=batch, runs=runs, warmup=5)

@@ -101,39 +101,57 @@ def main():
     pre_topk = 4096
 
     yaml_path = make_dataset(Path(os.environ.get("DS_DIR", "/tmp/val_bench_ds")), n_images, imgsz)
-    model = YOLO11Model(f"yolo11{size}")
     print(json.dumps({"device": str(jax.devices()[0]), "size": size, "imgsz": imgsz,
                       "n_images": n_images, "conf": 0.001, "pre_topk": pre_topk}), flush=True)
 
+    # chunk-policy A/B for the val program (VERDICT r4 item 2): the serving
+    # chunk policy is read at trace time, so each variant gets a fresh model
+    all_variants = {
+        "default": {},
+        "chunk_off": {"YOLO_TPU_SERVE_CHUNK": "0"},
+        "chunk16_unroll": {"YOLO_TPU_SERVE_CHUNK": "16", "YOLO_TPU_CHUNK_MODE": "unroll"},
+        "chunk16_scan": {"YOLO_TPU_SERVE_CHUNK": "16", "YOLO_TPU_CHUNK_MODE": "scan"},
+    }
+    variants = [(v, all_variants[v]) for v in os.environ.get("VARIANTS", "default").split(",")]
+    gated = ("YOLO_TPU_SERVE_CHUNK", "YOLO_TPU_CHUNK_MODE")
+
     rng = np.random.default_rng(0)
-    for b in batches:
-        # ---- 2. the val device program, sustained (tunnel RTT amortized)
-        dev_images = jnp.asarray(rng.integers(0, 255, (b, imgsz, imgsz, 3), dtype=np.uint8))
+    for tag, env in variants:
+        for k in gated:
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        model = YOLO11Model(f"yolo11{size}")
+        for b in batches:
+            # ---- 2. the val device program, sustained (tunnel RTT amortized)
+            dev_images = jnp.asarray(rng.integers(0, 255, (b, imgsz, imgsz, 3), dtype=np.uint8))
 
-        def prog(imgs):
-            return model.predictor.predict_raw(imgs, 0.001, 0.6, imgsz,
-                                               multi_label=True, pre_topk=pre_topk)
+            def prog(imgs):
+                return model.predictor.predict_raw(imgs, 0.001, 0.6, imgsz,
+                                                   multi_label=True, pre_topk=pre_topk)
 
-        t0 = time.perf_counter()
-        sync_leaf(prog(dev_images))
-        compile_s = time.perf_counter() - t0
-        ms = bench_fn(prog, (dev_images,), runs)
-        print(json.dumps({"size": size, "batch": b, "kind": "val_program_sustained",
-                          "ms_per_batch": round(ms, 3),
-                          "imgs_per_s": round(b / ms * 1e3, 1),
-                          "compile_s": round(compile_s, 1)}), flush=True)
+            t0 = time.perf_counter()
+            sync_leaf(prog(dev_images))
+            compile_s = time.perf_counter() - t0
+            ms = bench_fn(prog, (dev_images,), runs)
+            print(json.dumps({"size": size, "batch": b, "kind": "val_program_sustained",
+                              "variant": tag, "ms_per_batch": round(ms, 3),
+                              "imgs_per_s": round(b / ms * 1e3, 1),
+                              "compile_s": round(compile_s, 1)}), flush=True)
 
-        # ---- 1. e2e validate() wall-clock (decode+letterbox+device+matching)
-        val = YOLO11Validator(model=model, output_dir=f"/tmp/val_bench_out_{size}_{b}")
-        res = val.validate(str(yaml_path), imgsz=imgsz, batch=b, conf=0.001,
-                           iou=0.6, verbose=False)  # warm epoch (compile hit above)
-        res = val.validate(str(yaml_path), imgsz=imgsz, batch=b, conf=0.001,
-                           iou=0.6, verbose=False)
-        print(json.dumps({"size": size, "batch": b, "kind": "validate_e2e",
-                          "imgs_per_s": round(res["speed"]["images_per_s"], 1),
-                          "inference_ms_per_image": round(res["speed"]["inference_ms_per_image"], 3),
-                          "total_s": round(res["speed"]["total_s"], 2),
-                          "mAP50": round(res["metrics"]["mAP50"], 4)}), flush=True)
+            if tag != "default" or os.environ.get("SKIP_E2E", "") == "1":
+                continue
+            # ---- 1. e2e validate() wall-clock (decode+letterbox+device+matching)
+            val = YOLO11Validator(model=model, output_dir=f"/tmp/val_bench_out_{size}_{b}")
+            res = val.validate(str(yaml_path), imgsz=imgsz, batch=b, conf=0.001,
+                               iou=0.6, verbose=False)  # warm epoch (compile hit above)
+            res = val.validate(str(yaml_path), imgsz=imgsz, batch=b, conf=0.001,
+                               iou=0.6, verbose=False)
+            print(json.dumps({"size": size, "batch": b, "kind": "validate_e2e",
+                              "imgs_per_s": round(res["speed"]["images_per_s"], 1),
+                              "inference_ms_per_image": round(res["speed"]["inference_ms_per_image"], 3),
+                              "total_s": round(res["speed"]["total_s"], 2),
+                              "mAP50": round(res["metrics"]["mAP50"], 4)}), flush=True)
+        del model
 
     # ---- 3. tail piece: the flat (A*nc,) candidate sort alone, per batch
     a_total = sum((imgsz // s) ** 2 for s in (8, 16, 32))

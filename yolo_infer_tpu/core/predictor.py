@@ -406,9 +406,9 @@ class Predictor:
         self.compute_dtype = compute_dtype
         self.pre_topk = pre_topk
         self.max_det = max_det
-        if mask_mode not in ("device", "device_half", "q8", "bits", "exact"):
+        if mask_mode not in ("auto", "device", "device_half", "q8", "bits", "exact"):
             raise ValueError(
-                f"mask_mode must be 'device', 'device_half', 'q8', 'bits' or 'exact', got {mask_mode!r}"
+                f"mask_mode must be 'auto', 'device', 'device_half', 'q8', 'bits' or 'exact', got {mask_mode!r}"
             )
         self.mask_mode = mask_mode
         from yolo_infer_tpu.utils.compile_cache import enable_compile_cache
@@ -560,6 +560,16 @@ class Predictor:
                 mc = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in out["mc"]], axis=1)
                 coefs = select_anchor_rows(mc, dets["anchor_idx"])  # (B, max_det, nm)
                 mmode = mask_out or self.mask_mode
+                if mmode == "auto":
+                    # resolution-gated default: the device_half boundary band
+                    # is a fixed <=1 px strip, so at serving resolutions its
+                    # accuracy cost is negligible for 4x less mask transfer
+                    # (ACCURACY_MATRIX seg_device_half rows: mAP50 delta
+                    # 0.0000 at every measured size; 50-95 delta shrinks
+                    # 0.068 -> 0.045 -> measured@640 in the r5 row), while at
+                    # toy/test sizes (<512) the band is a visible mask
+                    # fraction — keep the exact full-grid mode there.
+                    mmode = "device_half" if imgsz >= 512 else "device"
                 if mmode in ("device", "device_half"):
                     from yolo_infer_tpu.ops.masks import assemble_mask_bits_up
 

@@ -391,3 +391,62 @@ def convert_to_file(pt_path: Union[str, Path], out_path: Optional[Union[str, Pat
     )
     out = Path(out_path or Path(pt_path).with_suffix(".msgpack"))
     return model.save(out)
+
+
+def export_state_dict(
+    params: Dict,
+    state: Dict,
+    spec: ModelSpec,
+    template: Dict[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """Inverse of convert_state_dict: (params, state) trees -> torch-layout
+    flat state dict.
+
+    Probe-based exact inversion, so it can never drift from the forward
+    converter: convert_state_dict runs once on an index-valued float64 state
+    dict (value = global flat position), which yields, for every jax-tree
+    element, the torch flat position it came from; the trained values are
+    then scattered back through that map. Keys the converter never consumes
+    (num_batches_tracked, the fixed DFL expectation conv) keep the
+    `template` values (pass `TorchYOLO11(spec).state_dict()` — its own init
+    is already correct for those).
+
+    Used to run the torch reference pipeline of the two-pipeline fidelity
+    protocol on TRAINED jax weights (VERDICT r4 item 4: the m-scale floor
+    needs trained-like golden weights, random golden puts m scores in a
+    ranking-chatter regime).
+    """
+    import jax
+
+    names = list(template.keys())
+    shapes = [tuple(np.asarray(template[n]).shape) for n in names]
+    probe: Dict[str, np.ndarray] = {}
+    base = 0
+    for n, s in zip(names, shapes):
+        size = int(np.prod(s)) if s else 1
+        probe[n] = np.arange(base, base + size, dtype=np.float64).reshape(s)
+        base += size
+    p_probe, s_probe = convert_state_dict(probe, spec)
+
+    tp, tdef_p = jax.tree_util.tree_flatten(params)
+    pp, pdef_p = jax.tree_util.tree_flatten(p_probe)
+    ts, tdef_s = jax.tree_util.tree_flatten(state)
+    ps, pdef_s = jax.tree_util.tree_flatten(s_probe)
+    if tdef_p != pdef_p or tdef_s != pdef_s:
+        raise ValueError("trained tree structure does not match convert_state_dict(spec) output")
+
+    flat = np.full((base,), np.nan, dtype=np.float64)
+    for trained, idx in zip(tp + ts, pp + ps):
+        flat[np.asarray(idx).ravel().astype(np.int64)] = np.asarray(trained, dtype=np.float64).ravel()
+
+    out: Dict[str, np.ndarray] = {}
+    base = 0
+    for n, s in zip(names, shapes):
+        size = int(np.prod(s)) if s else 1
+        vals = flat[base : base + size]
+        if np.isnan(vals).all():  # converter never consumed this tensor
+            out[n] = np.asarray(template[n])
+        else:
+            out[n] = vals.reshape(s).astype(np.asarray(template[n]).dtype)
+        base += size
+    return out

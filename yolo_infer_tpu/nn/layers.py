@@ -306,7 +306,13 @@ def conv_block(
                 y = y + params["b"].astype(ed)
             if act:
                 y = silu(y)
-            return Q.QAct(jnp.clip(jnp.round(y / sy.astype(ed)), -127, 127).astype(jnp.int8), sy), state
+            # requant by scalar-reciprocal MULTIPLY (divide is ~10x the VPU
+            # cost of multiply and this runs over the full activation tensor;
+            # matches the Pallas kernel's syinv convention,
+            # ops/pallas/int8_conv.py:40-53 — at most a 1-ULP rounding-edge
+            # difference, covered by the fidelity rows)
+            syinv = (1.0 / sy.astype(jnp.float32)).astype(ed)
+            return Q.QAct(jnp.clip(jnp.round(y * syinv), -127, 127).astype(jnp.int8), sy), state
         # dynamic (calibration-free) / legacy per-conv-static path: fp in/out
         x = Q.as_float(x, getattr(x, "dtype", jnp.float32) if not isinstance(x, Q.QAct) else jnp.bfloat16)
         x_scale = ctx.next_scale() if ctx is not None and ctx.mode == "static" else None
