@@ -98,9 +98,12 @@ def test_chunk_policy_guards():
     for task in ("obb", "classify", "segment"):
         assert _serve_chunk(32, "n", task, False, False) == (16, "unroll")
     assert _serve_chunk(32, "n", "pose", False, False) == (16, "scan")
-    # b64 chunks at n-detect ONLY (the one measured 4-chunk win, +6.6%);
-    # unmeasured non-detect n/b64 cells stay whole
-    assert _serve_chunk(64, "n", "pose", False, False)[0] == 0
+    # n/b64: detect/pose/obb chunk (r5 matrix: +6.6% / +2.7% / +15%);
+    # segment/classify measured whole-faster and stay whole
+    assert _serve_chunk(64, "n", "pose", False, False) == (16, "unroll")
+    assert _serve_chunk(64, "n", "obb", False, False) == (16, "unroll")
+    assert _serve_chunk(64, "n", "segment", False, False)[0] == 0
+    assert _serve_chunk(64, "n", "classify", False, False)[0] == 0
     # round-4 b64/b96 matrix (2026-08-20): chunking loses at m/l/x b64
     # (-9.6/-21/-8%) and n/b96 (-54%) — only B == 32 chunks by default
     for b, want_chunk in ((8, False), (16, False), (32, True), (48, False), (64, False), (96, False), (128, False)):
@@ -110,7 +113,10 @@ def test_chunk_policy_guards():
         assert mode == "unroll"  # scan is the measured n-at-2-chunks exception
     assert _serve_chunk(32, "n", "detect", False, False) == (16, "scan")
     assert _serve_chunk(64, "n", "detect", False, False) == (16, "unroll")
-    for b in (48, 96):
+    # r5 completion matrix: the 3-chunk n/b48 cell WINS (+7.9%) and joins;
+    # b80/b96/b112 lose (5+ chunks) and stay whole
+    assert _serve_chunk(48, "n", "detect", False, False) == (16, "unroll")
+    for b in (80, 96, 112):
         assert _serve_chunk(b, "n", "detect", False, False)[0] == 0
     # s stays whole at every batch (chunk/tile matrix: chunking costs s 32%
     # at b32); the other sizes keep the chunk policy
@@ -131,3 +137,29 @@ def test_chunk_policy_guards():
     assert _serve_chunk(32, "n", "detect", False, False, imgsz=320)[0] == 0
     assert _serve_chunk(32, "m", "detect", False, False, imgsz=480)[0] == 0
     assert _serve_chunk(32, "n", "detect", False, False, imgsz=1280) == (16, "scan")
+
+
+def test_chunked_equals_whole_val_program(tiny_deploy, monkeypatch):
+    """The VALIDATOR's device program (conf=0.001, multi_label, raised
+    pre_topk — reference validator protocol, ref core/validator.py:86-136)
+    must also be chunk-invariant: the r5 hardware A/B made chunking the val
+    default win at b32/b64 (29.5 vs 34.8 ms, 57.3 vs 62.1 — bench_val_loop
+    2026-08-20), so its equivalence is gated here like the serving paths."""
+    from yolo_infer_tpu.core.predictor import Predictor
+
+    params, spec = tiny_deploy
+    imgs = np.random.default_rng(3).integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+
+    def val_dets(predictor):
+        out = predictor.predict_raw(jnp.asarray(imgs), 0.001, 0.6, imgs.shape[1],
+                                    multi_label=True, pre_topk=512)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    monkeypatch.setenv("YOLO_TPU_SERVE_CHUNK", "0")
+    base = val_dets(Predictor(params, spec, compute_dtype=jnp.float32))
+    monkeypatch.setenv("YOLO_TPU_SERVE_CHUNK", "2")
+    monkeypatch.setenv("YOLO_TPU_CHUNK_MODE", "unroll")
+    out = val_dets(Predictor(params, spec, compute_dtype=jnp.float32))
+    assert set(base) == set(out)
+    for k in base:
+        np.testing.assert_array_equal(base[k], out[k], err_msg=k)

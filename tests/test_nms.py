@@ -337,6 +337,7 @@ def test_seldec_predictor_env_toggle(monkeypatch):
     from yolo_infer_tpu.core.predictor import Predictor
 
     imgs = (np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3))).astype(np.uint8)
+    monkeypatch.setenv("YOLO_TPU_DETECT_SELDEC", "0")  # decode-everything path
     m1 = YOLO11Model("yolo11n")
     # random-init cls biases put scores ~1e-5 (CLAUDE.md): use a tiny conf
     # so the comparison actually carries boxes

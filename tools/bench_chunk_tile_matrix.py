@@ -63,6 +63,9 @@ def main():
         "seldec": {"YOLO_TPU_DETECT_SELDEC": "1"},
         "k256": {"YOLO_TPU_PRE_TOPK": "256"},
         "seldec_k256": {"YOLO_TPU_DETECT_SELDEC": "1", "YOLO_TPU_PRE_TOPK": "256"},
+        # K=384 = the smallest lane-aligned pool that still honors the
+        # nominal max_det=300 output contract (K=256 can emit at most 256)
+        "seldec_k384": {"YOLO_TPU_DETECT_SELDEC": "1", "YOLO_TPU_PRE_TOPK": "384"},
         "seldec_off": {"YOLO_TPU_DETECT_SELDEC": "0"},
     }
     variants = [

@@ -101,14 +101,34 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
       n/b64  20.31 / 21.66 (2026-08-19)    -> chunked (+6.6%, the tiled
              early stage carries it; chunk-without-tiling ran 40.35)
 
+    The round-5 completion matrix (tools/bench_chunk_tile_matrix.py +
+    bench_val_loop.py, v5e 2026-08-20) closed every previously unmeasured
+    cell for B <= 128 at 640 (the r4 LESSON: always matrix the dial):
+
+      n/b48  detect  18.83 whole / 17.45 chunk16   -> chunked (+7.9%; the
+             3-chunk case wins like the 2- and 4-chunk n cells)
+      n/b80  detect  19.97 / 27.05                 -> whole (5 chunks lose)
+      n/b112 detect  22.04 / 36.77                 -> whole
+      m/b48-112      42.2/68.5/81.1 whole all beat chunked (-7..-26%)
+      n/b64  pose    24.85 / 24.18                 -> chunked (+2.7%)
+      n/b64  obb     25.99 / 22.53                 -> chunked (+15%)
+      n/b64  segment 68.72 / 71.91                 -> whole
+      n/b64  classify 11.25 / 11.99                -> whole
+      s/b32  refresh: whole 16.26, chunk16 18.81   -> s stays unchunked
+             (post-tail-rewrite re-check; seldec helps s +2.7% instead)
+      l/b32  refresh: 42.70 whole / 42.74 chunked  -> wash; keep chunked
+      VAL program (conf=0.001 multi_label pre_topk=4096): the policy's
+             chunking WINS for val too — b32 29.48 chunked vs 34.79 whole
+             (+18%), b64 57.27 vs 62.15 (+8.5%); per-image ms is now
+             monotone in batch (0.985/0.921/0.895 at b16/32/64).
+
     Policy: chunk 16 at B == 32 EXACTLY (2 chunks) — every task, sizes
     n/m/l/x (NOT s; segment additionally n only) at imgsz >= 640 — plus
-    the one directly measured 4-chunk win, n/b64 detect. Unmeasured cells
-    (b48/b80/b112, non-detect n/b64) stay whole: whole is never
-    catastrophic, chunk losses are. "scan" only for the measured
-    n-at-2-chunks detect/pose cases, "unroll" otherwise. Env overrides for
-    sweeps: YOLO_TPU_SERVE_CHUNK=<n> (0 disables),
-    YOLO_TPU_CHUNK_MODE=unroll|scan.
+    the directly measured n-only wins: detect b48/b64, pose b64, obb b64.
+    Other cells stay whole: whole is never catastrophic, chunk losses are.
+    "scan" only for the measured n-at-2-chunks detect/pose cases, "unroll"
+    otherwise. Env overrides for sweeps: YOLO_TPU_SERVE_CHUNK=<n>
+    (0 disables), YOLO_TPU_CHUNK_MODE=unroll|scan.
     Meshed serving keeps the batch whole (chunking would fight the GSPMD
     data-axis sharding); quantized trees keep their measured int8
     eligibility tables keyed on the full batch's activation rows
@@ -131,7 +151,10 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     if batch == 32:
         mode = "scan" if (size == "n" and task in ("detect", "pose")) else "unroll"
         return 16, (mode_env or mode)
-    if batch == 64 and size == "n" and task == "detect":
+    if size == "n" and (
+        (task == "detect" and batch in (48, 64))
+        or (task in ("pose", "obb") and batch == 64)
+    ):
         return 16, (mode_env or "unroll")
     return 0, "unroll"
 
@@ -147,9 +170,12 @@ def _serve_pre_topk(default: int) -> int:
 
 def _detect_seldec(meshed: bool) -> bool:
     """Whether the detect speed path uses select-then-decode
-    (``YOLO_TPU_DETECT_SELDEC`` = 1/0 overrides; default off pending the
-    hardware A/B — flip here once measured). Never under a mesh: the one-hot
-    row select has no natural GSPMD partitioning rule."""
+    (``YOLO_TPU_DETECT_SELDEC`` = 1/0 overrides). Default ON since the r5
+    hardware A/B (tools/bench_chunk_tile_matrix.py seldec variants, v5e
+    2026-08-20, quiet-host 40-run medians): it wins at every measured size —
+    n/b32 10.19 -> 9.86 ms (+3.4%, +4.0% stacked with the K=384 pool),
+    s/b32 16.26 -> 15.83, l/b32 42.70 -> 42.20. Never under a mesh: the
+    one-hot row select has no natural GSPMD partitioning rule."""
     import os
 
     if meshed:
@@ -157,7 +183,7 @@ def _detect_seldec(meshed: bool) -> bool:
     env = os.environ.get("YOLO_TPU_DETECT_SELDEC", "")
     if env:
         return env == "1"
-    return False
+    return True
 
 
 @dataclass
@@ -507,8 +533,13 @@ class Predictor:
                 # speed path: per-level class reduction (no (B,A,nc) tensor),
                 # bf16 DFL, single-label NMS with a smaller candidate pool
                 impl = "xla" if self.mesh is not None else "auto"
-                serve_topk = min(_serve_pre_topk(pre_topk), 512)
-                if _detect_seldec(self.mesh is not None):
+                seldec = _detect_seldec(self.mesh is not None)
+                # seldec's one-hot row-select cost is linear in the pool, so
+                # it serves the smallest lane-aligned pool that still honors
+                # the max_det=300 output contract (K=384; K=256 measured
+                # only 0.6% faster and caps detections below the contract)
+                serve_topk = min(_serve_pre_topk(pre_topk), 384 if seldec else 512)
+                if seldec:
                     # select-then-decode: DFL runs on the serve_topk selected
                     # rows only, not all A anchors (ops/nms.py
                     # batched_nms_seldec; the pose/seg tails already decode
