@@ -51,10 +51,10 @@ def run_size(size: str, imgsz: int = 128, nc: int = 4):
     params, state = convert_state_dict(sd, spec)
     deploy = fold_model(params, state)
     return _variant_rows(size, spec, deploy, tmodel, F._images(), nc=nc, golden="synthetic",
-                         calib_imgs=F._images(seed=21)[:2])
+                         calib_imgs=F._images(seed=21)[:2], imgsz=imgsz)
 
 
-def _variant_rows(size, spec, deploy, tmodel, imgs, nc, golden, calib_imgs):
+def _variant_rows(size, spec, deploy, tmodel, imgs, nc, golden, calib_imgs, imgsz):
     """Shared scoring core of the planted-GT two-pipeline protocol: plant GT
     from the torch pipeline's confident detections, score every variant
     pipeline, emit |delta| rows (plus the f32 two-pipeline FLOOR row)."""
@@ -229,7 +229,7 @@ def run_trained(size: str, imgsz: int = 128, nc: int = 4, epochs: int = 400,
     calib_imgs, _ = _box_scenes(imgsz, nc, 2, seed=21)
     deploy = fold_model(model.params, model.state)
     return _variant_rows(size, spec, deploy, tmodel, test_imgs, nc=nc,
-                         golden="trained", calib_imgs=calib_imgs)
+                         golden="trained", calib_imgs=calib_imgs, imgsz=imgsz)
 
 
 def run_seg_half(imgsz: int = 128):

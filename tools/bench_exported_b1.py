@@ -47,6 +47,30 @@ def main() -> int:
     export_predictor(model, path, batch=batch, imgsz=imgsz)
     export_s = time.perf_counter() - t0
     art_mb = os.path.getsize(path) / 1e6
+
+    # live-predictor control: same process, same protocol — isolates any
+    # exported-artifact overhead from weather/protocol differences
+    rng0 = np.random.default_rng(0)
+    live_dev = jnp.asarray(rng0.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+
+    def live_once():
+        out = model.predictor.predict_raw(live_dev, 0.25, 0.45, imgsz)
+        np.asarray(out["num"])
+        return out
+
+    live_once()
+    for _ in range(5):
+        live_once()
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(runs - 1):
+            model.predictor.predict_raw(live_dev, 0.25, 0.45, imgsz)
+        live_once()
+        reps.append((time.perf_counter() - t0) / runs)
+    live_ms = float(np.median(reps)) * 1e3
+    print(json.dumps({"kind": "live_control", "size": size, "batch": batch,
+                      "device_ms_per_batch": round(live_ms, 3)}), flush=True)
     del model
 
     pred = ExportedPredictor.load(path)

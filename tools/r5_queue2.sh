@@ -28,7 +28,7 @@ SIZE=n RUNS=100 BATCH=1 \
   tools/tpu_retry.sh /tmp/r5_exported_b1.log python tools/bench_exported_b1.py
 echo "PHASE3 exported_b1 done $(date +%H:%M:%S)" >> /tmp/r5_queue2.status
 
-CONFIGS="m:32" RUNS=20 VARIANTS=default,seldec \
+CONFIGS="m:32" RUNS=20 VARIANTS=default,seldec_off \
   tools/tpu_retry.sh /tmp/r5_m_seldec.log python tools/bench_chunk_tile_matrix.py
 echo "PHASE4 m_seldec done $(date +%H:%M:%S)" >> /tmp/r5_queue2.status
 

@@ -15,7 +15,7 @@ for attempt in 1 2 3 4 5 6; do
     echo "=== tpu_retry ok (attempt $attempt) ===" >> "$LOG"
     exit 0
   fi
-  if grep -q "UNAVAILABLE\|Unable to initialize backend" "$LOG"; then
+  if grep -q "UNAVAILABLE\|Unable to initialize backend\|FAILED_PRECONDITION\|DEADLINE_EXCEEDED" "$LOG"; then
     echo "=== tpu_retry rc=$rc wedged; sleeping 900 ===" >> "$LOG"
     sleep 900
   else
