@@ -88,7 +88,16 @@ class ExportedPredictor:
     """Serve a `jax.export` artifact — no model code or weights needed."""
 
     def __init__(self, exported, meta: Dict[str, Any]):
+        import jax
+
         self._exp = exported
+        # jit the exported call ONCE: calling Exported.call eagerly re-traces
+        # per invocation and ships fresh threshold scalars every call — the
+        # r5 hardware control measured the eager path at 8.98 ms/b1 vs the
+        # live predictor's 1.63 (tools/bench_exported_b1.py); jit + cached
+        # device scalars restore artifact serving to live-program latency.
+        self._call = jax.jit(exported.call)
+        self._scalar_cache: Dict[float, Any] = {}
         self.meta = meta
         self.task = meta["task"]
         self.batch = int(meta["batch"])
@@ -96,6 +105,14 @@ class ExportedPredictor:
         self.names = {int(k): v for k, v in meta["names"].items()}
         # duck-typed attrs so Predictor._postprocess works unchanged
         self.spec = _SpecShim(task=self.task)
+
+    def _dev_scalar(self, v: float):
+        import jax.numpy as jnp
+
+        key = float(v)
+        if key not in self._scalar_cache:
+            self._scalar_cache[key] = jnp.float32(key)
+        return self._scalar_cache[key]
 
     @classmethod
     def load(cls, path: Union[str, Path]) -> "ExportedPredictor":
@@ -119,7 +136,7 @@ class ExportedPredictor:
                 f"artifact is specialized to {(self.batch, self.imgsz, self.imgsz, 3)}, "
                 f"got {tuple(images_u8.shape)}"
             )
-        return self._exp.call(jnp.asarray(images_u8), jnp.float32(conf), jnp.float32(iou))
+        return self._call(jnp.asarray(images_u8), self._dev_scalar(conf), self._dev_scalar(iou))
 
     # -- convenience: same Results surface as Predictor.predict ---------------
 
