@@ -592,14 +592,16 @@ class Predictor:
                 coefs = select_anchor_rows(mc, dets["anchor_idx"])  # (B, max_det, nm)
                 mmode = mask_out or self.mask_mode
                 if mmode == "auto":
-                    # resolution-gated default: the device_half boundary band
-                    # is a fixed <=1 px strip, so at serving resolutions its
-                    # accuracy cost is negligible for 4x less mask transfer
-                    # (ACCURACY_MATRIX seg_device_half rows: mAP50 delta
-                    # 0.0000 at every measured size; 50-95 delta shrinks
-                    # 0.068 -> 0.045 -> measured@640 in the r5 row), while at
-                    # toy/test sizes (<512) the band is a visible mask
-                    # fraction — keep the exact full-grid mode there.
+                    # resolution-gated opt-in: device_half at serving
+                    # resolutions (>=512), exact full-grid below. Measured
+                    # at production 640 (ACCURACY_MATRIX r5): IoU vs full
+                    # 0.9847 mean, mask-mAP50 delta 0.0000 vs full / 0.0016
+                    # vs torch; mAP50-95 vs the EXACT full-grid mask 0.0489
+                    # (the <=1 px band flips 0.9/0.95-IoU matches when GT
+                    # is the exact mask itself) — which is why 'auto' is
+                    # NOT the default: 'device' stays the accuracy-first
+                    # default, 'auto'/'device_half' are the 2x mask-read
+                    # lever (38.8 vs 73.1 ms/img through the tunnel).
                     mmode = "device_half" if imgsz >= 512 else "device"
                 if mmode in ("device", "device_half"):
                     from yolo_infer_tpu.ops.masks import assemble_mask_bits_up
