@@ -67,13 +67,16 @@ def main():
         # nominal max_det=300 output contract (K=256 can emit at most 256)
         "seldec_k384": {"YOLO_TPU_DETECT_SELDEC": "1", "YOLO_TPU_PRE_TOPK": "384"},
         "seldec_off": {"YOLO_TPU_DETECT_SELDEC": "0"},
+        # whole-batch NCHW early chain (models/early.py run_early_nchw) for
+        # the regimes the tile path excludes — the dedicated s look (r5)
+        "early_nchw": {"YOLO_TPU_EARLY_NCHW": "1"},
     }
     variants = [
         (v, all_variants[v])
         for v in os.environ.get("VARIANTS", "default,chunk_off,chunk_no_tile").split(",")
     ]
     gated = ("YOLO_TPU_SERVE_CHUNK", "YOLO_TPU_CHUNK_MODE", "YOLO_TPU_EARLY_TILED",
-             "YOLO_TPU_DETECT_SELDEC", "YOLO_TPU_PRE_TOPK")
+             "YOLO_TPU_DETECT_SELDEC", "YOLO_TPU_PRE_TOPK", "YOLO_TPU_EARLY_NCHW")
 
     for size, batch in configs:
         rows = {}

@@ -128,14 +128,31 @@ def forward(
         from yolo_infer_tpu.models import early as E
         from yolo_infer_tpu.nn import quantize as Q
 
-        if (
-            _os.environ.get("YOLO_TPU_EARLY_TILED", "1") == "1"
-            and attn_impl != "xla"  # meshed serving: keep the batch axis GSPMD-clean
+        clean = (
+            attn_impl != "xla"  # meshed serving: keep the batch axis GSPMD-clean
             and Q.current_context() is None
             and not isinstance(x, Q.QAct)
+        )
+        if (
+            _os.environ.get("YOLO_TPU_EARLY_TILED", "1") == "1"
+            and clean
             and E.tiled_eligible(params, spec, x.shape[0], x.shape[1], x.shape[2])
         ):
             prev, saved_early = E.run_early_tiled(params, spec, x)
+            ys.update(saved_early)
+            start_idx = E.EARLY_UPTO_DEFAULT + 1
+        elif (
+            _os.environ.get("YOLO_TPU_EARLY_NCHW", "") == "1"
+            and clean
+            and E.eligible(params, spec)
+        ):
+            # NCHW re-expression of the early chain (models/early.py): one
+            # W-in-lanes layout end-to-end, no relayout copies. Env-gated
+            # A/B hook for the whole-batch regimes the tile path excludes
+            # (s at any batch; every size at B > 16 outside the chunk
+            # policy) — the r5 s/b32 trace shows two ~1.6-2.0 ms early
+            # fusions + a 0.58 ms copy that this layout targets.
+            prev, saved_early = E.run_early_nchw(params, spec, x)
             ys.update(saved_early)
             start_idx = E.EARLY_UPTO_DEFAULT + 1
     for layer in spec.layers:
