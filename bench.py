@@ -124,11 +124,17 @@ def main() -> None:
 
         here_dir = os.path.dirname(os.path.abspath(__file__))
         env = dict(os.environ, PYTHONPATH=here_dir, JAX_PLATFORMS="cpu")
+        # budget-aware bound: offline this exits in ~10 s; online (the case
+        # it exists for) it may download + dual-stack val for minutes — cap
+        # it so it cannot starve the prioritized extras below of the whole
+        # extras budget (r5 code review)
+        left = budget_s - (time.perf_counter() - t_start)
+        cap = max(120, min(900, int(left * 0.4)))
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.join(here_dir, "tools", "fetch_and_verify.py"),
                  "--model", "yolo11n", "--limit", "32"],
-                capture_output=True, text=True, timeout=900, env=env)
+                capture_output=True, text=True, timeout=cap, env=env)
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
                     return json.loads(line)

@@ -138,12 +138,22 @@ def seg_half_metrics(imgsz=None):
     """
     import test_fidelity_map as F
 
+    prior_imgsz = F.IMGSZ
+    if imgsz is not None:
+        F.IMGSZ = imgsz
+    try:
+        return _seg_half_metrics_inner(F)
+    finally:
+        # restore the module geometry: a later protocol run in the same
+        # process must not silently inherit this override (r5 code review)
+        F.IMGSZ = prior_imgsz
+
+
+def _seg_half_metrics_inner(F):
     from yolo_infer_tpu.core.ap_oracle import oracle_map
     from yolo_infer_tpu.core.metrics import mask_iou_matrix
     from yolo_infer_tpu.core.predictor import Predictor
 
-    if imgsz is not None:
-        F.IMGSZ = imgsz
     tmodel, predictor, spec = _build_pair("segment")
     imgs = _images()
     conf, iou_thres = 0.55, 0.5

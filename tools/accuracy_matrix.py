@@ -174,7 +174,6 @@ def run_trained(size: str, imgsz: int = 128, nc: int = 4, epochs: int = 400,
     import shutil
     from pathlib import Path as _P
 
-    import cv2
     import torch
     import yaml
 
@@ -189,6 +188,8 @@ def run_trained(size: str, imgsz: int = 128, nc: int = 4, epochs: int = 400,
     from yolo_infer_tpu.models.convert import export_state_dict
     from yolo_infer_tpu.models.yolo11 import fold_model
 
+    from yolo_infer_tpu.data.loader import save_image
+
     root = _P(workdir) / size
     shutil.rmtree(root, ignore_errors=True)
     for split, seed, n in (("train", 0, 8), ("val", 1, 8)):
@@ -196,7 +197,10 @@ def run_trained(size: str, imgsz: int = 128, nc: int = 4, epochs: int = 400,
         (root / f"labels/{split}").mkdir(parents=True, exist_ok=True)
         imgs, labels = _box_scenes(imgsz, nc, n, seed)
         for i, (img, lines) in enumerate(zip(imgs, labels)):
-            cv2.imwrite(str(root / f"images/{split}/i{i}.jpg"), img)
+            # _box_scenes arrays are RGB; save_image converts for cv2 so the
+            # TRAINED colors match the in-memory eval/calib scenes (a raw
+            # cv2.imwrite would channel-reverse them — r5 code review)
+            save_image(root / f"images/{split}/i{i}.jpg", img)
             (root / f"labels/{split}/i{i}.txt").write_text("\n".join(lines) + "\n")
     (root / "data.yaml").write_text(yaml.safe_dump(
         {"path": str(root), "train": "images/train", "val": "images/val",

@@ -68,8 +68,12 @@ def main():
         "seldec_k384": {"YOLO_TPU_DETECT_SELDEC": "1", "YOLO_TPU_PRE_TOPK": "384"},
         "seldec_off": {"YOLO_TPU_DETECT_SELDEC": "0"},
         # whole-batch NCHW early chain (models/early.py run_early_nchw) for
-        # the regimes the tile path excludes — the dedicated s look (r5)
-        "early_nchw": {"YOLO_TPU_EARLY_NCHW": "1"},
+        # the regimes the tile path excludes — the dedicated s look (r5).
+        # Tiling is explicitly disabled: forward() checks the tiled path
+        # FIRST, so a tile-eligible config (e.g. n:32's b16 chunk
+        # subgraphs) would otherwise measure the tiled program under this
+        # label (r5 code-review finding).
+        "early_nchw": {"YOLO_TPU_EARLY_NCHW": "1", "YOLO_TPU_EARLY_TILED": "0"},
     }
     variants = [
         (v, all_variants[v])

@@ -159,13 +159,32 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     return 0, "unroll"
 
 
-def _serve_pre_topk(default: int) -> int:
-    """Serving-path candidate-pool cap, env-overridable for hardware A/Bs
-    (``YOLO_TPU_PRE_TOPK``). Read at trace time like the chunk knobs."""
+def _serve_pre_topk(default: int) -> Optional[int]:
+    """Explicit serving-pool override for hardware A/Bs
+    (``YOLO_TPU_PRE_TOPK``), or None. An explicit value is honored AS IS —
+    the caller's default cap (384/512) must not silently clamp a sweep's
+    requested pool, or the emitted row is mislabeled (r5 code review)."""
     import os
 
     env = os.environ.get("YOLO_TPU_PRE_TOPK", "")
-    return int(env) if env else default
+    return int(env) if env else None
+
+
+def _trace_env_key() -> Tuple:
+    """The trace-time env knobs baked into a compiled serving program.
+
+    Part of the program-cache key (``Predictor._get``): flipping one of
+    these on a LIVE predictor must re-trace, not silently serve the stale
+    program compiled under the old value (r5 code review — the A/B tools
+    use fresh models per variant, but a long-lived server toggling an env
+    would otherwise record two identical rows under different labels)."""
+    import os
+
+    names = ("YOLO_TPU_SERVE_CHUNK", "YOLO_TPU_CHUNK_MODE", "YOLO_TPU_EARLY_TILED",
+             "YOLO_TPU_EARLY_NCHW", "YOLO_TPU_TILE_T", "YOLO_TPU_DETECT_SELDEC",
+             "YOLO_TPU_PRE_TOPK", "YOLO_MULTI_LABEL_TOPC", "YOLO_NMS_IMPL",
+             "YOLO_TPU_ROWSEL", "YOLO_TOPK_IMPL")
+    return tuple(os.environ.get(n, "") for n in names)
 
 
 def _detect_seldec(meshed: bool) -> bool:
@@ -184,6 +203,24 @@ def _detect_seldec(meshed: bool) -> bool:
     if env:
         return env == "1"
     return True
+
+
+class DevScalarCache:
+    """Device-resident threshold scalars, transferred ONCE per value.
+
+    Building jnp.float32(conf) on every call ships a tiny host->device
+    transfer per dispatch — ~2 ms/call through the remote tunnel, which
+    dominated batch-1 latency (PERF_MATRIX.json round 2). Shared by the
+    live Predictor and the AOT ExportedPredictor (core/exported.py)."""
+
+    def __init__(self):
+        self._cache: Dict[float, jnp.ndarray] = {}
+
+    def __call__(self, v: float) -> jnp.ndarray:
+        key = float(v)
+        if key not in self._cache:
+            self._cache[key] = jnp.float32(key)
+        return self._cache[key]
 
 
 @dataclass
@@ -449,18 +486,7 @@ class Predictor:
 
             self.params = shard_params(self.params, mesh)
         self._cache: Dict[Tuple, Any] = {}
-        self._scalar_cache: Dict[float, jnp.ndarray] = {}
-
-    def _dev_scalar(self, v: float) -> jnp.ndarray:
-        """Device-resident threshold scalar, transferred ONCE per value.
-
-        Building jnp.float32(conf) on every call ships a tiny host->device
-        transfer per dispatch — ~2 ms/call through the remote tunnel, which
-        dominated batch-1 latency (PERF_MATRIX.json round 2)."""
-        key = float(v)
-        if key not in self._scalar_cache:
-            self._scalar_cache[key] = jnp.float32(key)
-        return self._scalar_cache[key]
+        self._dev_scalar = DevScalarCache()
 
     def _place_batch(self, images_u8: jnp.ndarray) -> jnp.ndarray:
         """Shard the batch over the mesh's data axis (multi-chip serving)."""
@@ -537,8 +563,9 @@ class Predictor:
                 # seldec's one-hot row-select cost is linear in the pool, so
                 # it serves the smallest lane-aligned pool that still honors
                 # the max_det=300 output contract (K=384; K=256 measured
-                # only 0.6% faster and caps detections below the contract)
-                serve_topk = min(_serve_pre_topk(pre_topk), 384 if seldec else 512)
+                # only 0.6% faster and caps detections below the contract).
+                # An explicit YOLO_TPU_PRE_TOPK sweep value bypasses the cap.
+                serve_topk = _serve_pre_topk(pre_topk) or min(pre_topk, 384 if seldec else 512)
                 if seldec:
                     # select-then-decode: DFL runs on the serve_topk selected
                     # rows only, not all A anchors (ops/nms.py
@@ -675,7 +702,7 @@ class Predictor:
         # the SAME cache entry (a byte-identical program; a second remote
         # compile costs 10-90 s through the tunnel)
         mask_out = mask_out or self.mask_mode
-        key = (batch, src_hw, imgsz, multi_label, max_det, pre_topk, mask_out)
+        key = (batch, src_hw, imgsz, multi_label, max_det, pre_topk, mask_out, _trace_env_key())
         if key not in self._cache:
             self._cache[key] = self._build(src_hw, imgsz, multi_label, max_det, pre_topk, mask_out)
         return self._cache[key]
