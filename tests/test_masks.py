@@ -373,9 +373,12 @@ def test_mask_out_none_skips_mask_assembly(tiny_seg_predictors):
     # (the fixture is shared, so assert on KEYS, not cache size)
     p_dev.predict_raw(img, 0.25, 0.45, 64)  # mask_out=None (default 'device')
     p_dev.predict_raw(img, 0.25, 0.45, 64, mask_out="device")
-    keys = [k for k in p_dev._cache if k[0] == 1 and k[1] == (64, 64) and k[-1] == "device"]
+    # key layout: (batch, src_hw, imgsz, multi_label, max_det, pre_topk,
+    # mask_out, trace_env) — mask_out is index 6 (the r5 key appends the
+    # trace-time env-knob tuple last)
+    keys = [k for k in p_dev._cache if k[0] == 1 and k[1] == (64, 64) and k[6] == "device"]
     assert len(keys) == 1, keys
-    assert not any(k[-1] is None for k in p_dev._cache), "un-normalized cache key"
+    assert not any(k[6] is None for k in p_dev._cache), "un-normalized cache key"
 
 
 @pytest.mark.parametrize("shape", [(160, 640), (16, 64), (20, 48)])
