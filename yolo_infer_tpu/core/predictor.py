@@ -155,7 +155,10 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
         (task == "detect" and batch in (48, 64))
         or (task in ("pose", "obb") and batch == 64)
     ):
-        return 16, (mode_env or "unroll")
+        # scan measured fine at 3 chunks (n/b48 15.09 scan vs 15.26 unroll,
+        # r5) but collapses at 4+ (n/b64 scan 45.2 vs 20.2 unroll, r4)
+        mode = "scan" if (batch == 48 and task == "detect") else "unroll"
+        return 16, (mode_env or mode)
     return 0, "unroll"
 
 
