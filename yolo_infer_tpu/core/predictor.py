@@ -151,14 +151,12 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     if batch == 32:
         mode = "scan" if (size == "n" and task in ("detect", "pose")) else "unroll"
         return 16, (mode_env or mode)
-    if size == "n" and (
-        (task == "detect" and batch in (48, 64))
-        or (task in ("pose", "obb") and batch == 64)
-    ):
-        # scan measured fine at 3 chunks (n/b48 15.09 scan vs 15.26 unroll,
-        # r5) but collapses at 4+ (n/b64 scan 45.2 vs 20.2 unroll, r4)
-        mode = "scan" if (batch == 48 and task == "detect") else "unroll"
-        return 16, (mode_env or mode)
+    if size == "n" and task in ("detect", "pose", "obb") and batch in (48, 64):
+        # 3-chunk (b48) cells prefer scan (detect 15.09 vs 15.26 unroll;
+        # pose 17.58 vs 17.62; obb 16.92 vs 17.11 — and +13%/+21% over
+        # whole for pose/obb); the scan collapse only bites at 4+ chunks
+        # (n/b64 scan 45.2 vs 20.2 unroll, r4) so b64 stays unroll
+        return 16, (mode_env or ("scan" if batch == 48 else "unroll"))
     return 0, "unroll"
 
 
