@@ -113,12 +113,11 @@ def test_chunk_policy_guards():
         assert mode == "unroll"  # scan is the measured n-at-2-chunks exception
     assert _serve_chunk(32, "n", "detect", False, False) == (16, "scan")
     assert _serve_chunk(64, "n", "detect", False, False) == (16, "unroll")
-    # r5 completion matrix: the 3-chunk n/b48 cells WIN and join with scan
-    # (detect +7.9%, pose +12.7%, obb +20.9%); b80/b96/b112 lose (5+ chunks)
-    for task in ("detect", "pose", "obb"):
+    # r5 completion matrix: the 3-chunk n/b48 cells WIN for EVERY task with
+    # scan (detect +7.9%, pose +12.7%, obb +20.9%, classify +7.5%, segment
+    # +1.6% — all measured); b80/b96/b112 lose (5+ chunks)
+    for task in ("detect", "pose", "obb", "segment", "classify"):
         assert _serve_chunk(48, "n", task, False, False) == (16, "scan")
-    assert _serve_chunk(48, "n", "segment", False, False)[0] == 0
-    assert _serve_chunk(48, "n", "classify", False, False)[0] == 0
     for b in (80, 96, 112):
         assert _serve_chunk(b, "n", "detect", False, False)[0] == 0
     # s stays whole at every batch (chunk/tile matrix: chunking costs s 32%

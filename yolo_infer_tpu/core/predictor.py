@@ -151,12 +151,15 @@ def _serve_chunk(batch: int, size: str, task: str, meshed: bool, quantized: bool
     if batch == 32:
         mode = "scan" if (size == "n" and task in ("detect", "pose")) else "unroll"
         return 16, (mode_env or mode)
-    if size == "n" and task in ("detect", "pose", "obb") and batch in (48, 64):
-        # 3-chunk (b48) cells prefer scan (detect 15.09 vs 15.26 unroll;
-        # pose 17.58 vs 17.62; obb 16.92 vs 17.11 — and +13%/+21% over
-        # whole for pose/obb); the scan collapse only bites at 4+ chunks
-        # (n/b64 scan 45.2 vs 20.2 unroll, r4) so b64 stays unroll
-        return 16, (mode_env or ("scan" if batch == 48 else "unroll"))
+    if size == "n" and batch == 48:
+        # the 3-chunk b48 cells win for EVERY task with scan (detect +7.9%
+        # over whole / 15.09 vs 15.26 unroll; pose +12.7%; obb +20.9%;
+        # classify +7.5%; segment +1.6% — measured, NOT inferred from the
+        # b64 losses, which predicted seg/cls wrong); the scan collapse
+        # only bites at 4+ chunks (n/b64 scan 45.2 vs 20.2 unroll, r4)
+        return 16, (mode_env or "scan")
+    if size == "n" and task in ("detect", "pose", "obb") and batch == 64:
+        return 16, (mode_env or "unroll")
     return 0, "unroll"
 
 
